@@ -1,0 +1,78 @@
+"""Benchmark harness: 1080p demo-scene path tracing on one chip.
+
+The reference publishes no numbers (BASELINE.md) — this creates the harness it
+lacked, following its methodology: warmup frames before measurement
+(main.cpp:1324-1354) and per-frame breakdowns (main.cpp:656-664). The headline
+metric is Mrays/s (BASELINE.json: >= 200 Mrays/s per v5e chip target), counting
+*actually traced* rays (primary + bounce waves + shadow re-casts) measured on
+device, not a flattering upper bound.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    from rayzen_tpu.config import RenderConfig
+    from rayzen_tpu.demo import build_demo_scene
+    from rayzen_tpu.integrator import render_radiance_with_stats
+    from rayzen_tpu.packing import pack_scene
+
+    width, height = 1920, 1080
+    cfg = RenderConfig(width=width, height=height, spp=1, max_bounces=5)
+    scene = build_demo_scene(width, height)
+    arrays = pack_scene(scene, cfg)
+    cam = {k: jax.numpy.asarray(v) for k, v in scene.camera.device_params().items()}
+
+    fn = jax.jit(lambda a, c: render_radiance_with_stats(a, c, cfg))
+
+    # warmup: compile + 2 steady frames (reference --warmup-frames methodology)
+    t0 = time.perf_counter()
+    img, rays = fn(arrays, cam)
+    img.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    for _ in range(2):
+        img, rays = fn(arrays, cam)
+        img.block_until_ready()
+
+    frames = 5
+    t0 = time.perf_counter()
+    total_rays = 0
+    for _ in range(frames):
+        img, rays = fn(arrays, cam)
+        img.block_until_ready()
+        total_rays += int(rays)
+    wall = time.perf_counter() - t0
+
+    frame_ms = wall / frames * 1e3
+    mrays = total_rays / wall / 1e6
+    baseline = 200.0  # Mrays/s per chip target (BASELINE.md)
+    print(
+        f"# {frames} frames @ {width}x{height}, {cfg.spp} spp, "
+        f"{cfg.max_bounces} bounces on {jax.devices()[0].device_kind}: "
+        f"{frame_ms:.1f} ms/frame, {int(total_rays / frames)} rays/frame, "
+        f"compile {compile_s:.1f}s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s per chip (1080p demo scene, 1 spp, 5 bounces)",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / baseline, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,268 @@
+"""Wavefront path-tracing integrator.
+
+Reference: the megakernel main loop (fragment_shader.glsl:668-822) — per pixel:
+primary ray, bounce loop (<= 5), TLAS/BLAS closest hit, GGX direct lighting on
+bounce 0 only (:716), material-dependent scatter (deterministic dielectric
+refraction with TIR fallback :723-747, stochastic reflect-vs-diffuse for opaque
+:749-756), Russian roulette after bounce 2 (:764-769), sky gradient on miss
+(:706-709), 1/n tone clamp (:772-773).
+
+Rebuilt as a *wavefront*: the whole pixel wave advances bounce by bounce with
+dense masked arithmetic — throughput/alive/current-IOR are (R,)-shaped state, the
+bounce loop is unrolled (static budget) so XLA specializes every stage, and the
+only data-dependent iteration lives inside the traversal/shadow while_loops.
+
+Faithfully-kept reference quirks (SURVEY.md §7): throughput trims 0.95 (mirror),
+0.98 (TIR), albedo*0.4 (diffuse); direct lighting only on bounce 0; the scatter
+random draw is reused for Russian roulette (:720 vs :766); normals are geometric
+and unflipped; `viewDir` is toward the camera position.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import material as mat_mod
+from .config import RenderConfig
+from .ops import camera_rays, rng as rng_mod
+from .ops.intersect import dot3, normalize
+from .ops.shade import (
+    direct_lighting,
+    hemisphere_direction,
+    reflect,
+    refract_dir,
+    sky_color,
+)
+from .ops.traverse import brute_force_scene, hit_shading_data, traverse_scene
+from .packing import SceneArrays
+
+
+def _make_sampler(cfg: RenderConfig, frag, uv, width, height, key: int):
+    if cfg.rng == "reference":
+        return rng_mod.ReferenceSampler(uv, frag)
+    pixel_id = (frag[:, 1].astype(jnp.uint32) * jnp.uint32(width * 2)) + frag[
+        :, 0
+    ].astype(jnp.uint32)
+    sampler = rng_mod.HashSampler(pixel_id, key=key)
+    # HashSampler jitters a full pixel for AA; convert to uv units here.
+    inv_res = jnp.asarray([1.0 / width, 1.0 / height], dtype=jnp.float32)
+    base_jitter = sampler.camera_jitter
+
+    def scaled_jitter():
+        return base_jitter() * inv_res
+
+    sampler.camera_jitter = scaled_jitter
+    return sampler
+
+
+def trace_wave(
+    arrays: SceneArrays,
+    origin,  # (R, 3)
+    direction,  # (R, 3)
+    cam_position,  # (3,)
+    cfg: RenderConfig,
+    sampler,
+    samp: int,
+    max_bounces: int,
+    trace_fn=None,
+    active=None,
+):
+    """Trace one sample's wave to completion.
+
+    Returns (radiance (R, 3), rays_traced ()) — the count covers every closest-
+    hit query (primary + bounces) and every shadow re-cast, i.e. honest traced
+    rays for Mrays/s reporting, not an upper bound."""
+    trace = trace_fn or traverse_scene
+    n_rays = origin.shape[0]
+    color = jnp.zeros((n_rays, 3), dtype=jnp.float32)
+    throughput = jnp.ones((n_rays, 3), dtype=jnp.float32)
+    alive = (
+        jnp.ones((n_rays,), dtype=bool) if active is None else active.astype(bool)
+    )
+    cur_ior = jnp.ones((n_rays,), dtype=jnp.float32)  # medium tracking (glsl:674)
+    rays_traced = jnp.int32(0)
+
+    for bounce in range(max_bounces):
+        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
+        hit = trace(arrays, origin, direction, alive)
+        missed = alive & ~hit.found
+        color = color + jnp.where(
+            missed[:, None], throughput * sky_color(direction, cfg), 0.0
+        )
+        alive = alive & hit.found
+
+        normal, material, _ = hit_shading_data(arrays, hit)
+
+        if bounce == 0:
+            view_dir = normalize(cam_position - hit.point, eps=1e-20)
+            direct, shadow_rays = direct_lighting(
+                arrays, hit.point, normal, material, view_dir, alive, cfg,
+                trace_fn=trace,
+            )
+            color = color + jnp.where(alive[:, None], throughput * direct, 0.0)
+            rays_traced = rays_traced + shadow_rays
+
+        rand_val, hemi_u, hemi_v = sampler.bounce_draws(samp, bounce)
+
+        # ---- scatter (glsl:722-756) ----
+        albedo = material[:, mat_mod.ALBEDO]
+        reflectivity = material[:, mat_mod.REFLECTIVITY]
+        transparency = material[:, mat_mod.TRANSPARENCY]
+        mat_ior = material[:, mat_mod.IOR]
+        is_trans = transparency > 0.0
+
+        entering = dot3(-direction, normal) > 0.0
+        n_out = jnp.where(entering[:, None], normal, -normal)
+        ext_ior = cur_ior
+        next_ior = jnp.where(entering, mat_ior, 1.0)
+        eta = ext_ior / next_ior
+        cosi = jnp.clip(dot3(-direction, n_out), 0.0, 1.0)
+        f0 = ((ext_ior - next_ior) / (ext_ior + next_ior)) ** 2
+        fresnel = f0 + (1.0 - f0) * (1.0 - cosi) ** 5
+        refr, refr_ok = refract_dir(direction, n_out, eta)
+
+        tir_case = is_trans & ~refr_ok
+        refract_case = is_trans & refr_ok
+        mirror_case = ~is_trans & (rand_val < reflectivity)
+        diffuse_case = ~is_trans & ~mirror_case
+
+        refl_about_out = reflect(direction, n_out)  # TIR (glsl:736)
+        refl_about_n = reflect(direction, normal)  # opaque mirror (glsl:751)
+        diff_dir = hemisphere_direction(normal, hemi_u, hemi_v)
+
+        new_dir = jnp.where(
+            tir_case[:, None],
+            refl_about_out,
+            jnp.where(
+                refract_case[:, None],
+                refr,
+                jnp.where(mirror_case[:, None], refl_about_n, diff_dir),
+            ),
+        )
+
+        tint = (1.0 - transparency)[:, None] + albedo * transparency[:, None]
+        transmit_w = jnp.clip(
+            tint * (transparency * (1.0 - fresnel))[:, None], 0.0, 1.0
+        )
+        throughput = jnp.where(
+            tir_case[:, None],
+            throughput * 0.98,
+            jnp.where(
+                refract_case[:, None],
+                throughput * transmit_w,
+                jnp.where(
+                    mirror_case[:, None],
+                    throughput * 0.95,
+                    throughput * albedo * 0.4,
+                ),
+            ),
+        )
+        cur_ior = jnp.where(refract_case, next_ior, cur_ior)
+
+        # self-intersection offset along the *geometric* normal, signed by the
+        # new direction (glsl:758-761)
+        push = jnp.where(dot3(new_dir, normal) > 0.0, 1.0, -1.0)
+        origin = hit.point + normal * (push * 0.003)[:, None]
+        direction = new_dir
+
+        # ---- Russian roulette (glsl:764-769); reuses rand_val ----
+        if bounce > cfg.rr_start_bounce:
+            p = jnp.max(throughput, axis=-1)
+            kill = rand_val > p
+            alive = alive & ~kill
+            throughput = throughput / jnp.maximum(p, 1e-12)[:, None]
+
+    return color, rays_traced
+
+
+def render_rays(
+    arrays: SceneArrays,
+    frag,  # (R, 2) gl_FragCoord-style pixel coordinates
+    uv,  # (R, 2) in [0, 1]
+    camera_params: dict,
+    cfg: RenderConfig,
+    max_bounces: Optional[int] = None,
+    tracer: str = "bvh",
+    rng_key: int = 0,
+    active=None,  # (R,) bool — padding rays in sharded renders are inactive
+    with_stats: bool = False,
+):
+    """Path-trace an arbitrary wave of pixels; returns (R, 3) clamped color
+    (and the traced-ray count when ``with_stats``).
+
+    This is the shard-level entry: multi-chip rendering runs exactly this
+    function on each device's tile of rays (parallel.py)."""
+    max_bounces = max_bounces or cfg.max_bounces
+    trace_fn = brute_force_scene if tracer == "brute" else None
+    sampler = _make_sampler(cfg, frag, uv, cfg.width, cfg.height, rng_key)
+
+    total = jnp.zeros((frag.shape[0], 3), dtype=jnp.float32)
+    rays_traced = jnp.int32(0)
+    for samp in range(cfg.spp):
+        sampler.start_sample(samp)
+        jitter = sampler.camera_jitter()
+        origin, direction = camera_rays.generate_rays(
+            uv,
+            jitter,
+            camera_params["inv_proj"],
+            camera_params["inv_view"],
+            camera_params["position"],
+        )
+        radiance, rays = trace_wave(
+            arrays,
+            origin,
+            direction,
+            camera_params["position"],
+            cfg,
+            sampler,
+            samp,
+            max_bounces,
+            trace_fn=trace_fn,
+            active=active,
+        )
+        total = total + radiance
+        rays_traced = rays_traced + rays
+
+    color = jnp.clip(total / float(cfg.spp), 0.0, 1.0)  # glsl:772-773
+    if with_stats:
+        return color, rays_traced
+    return color
+
+
+def render_radiance(
+    arrays: SceneArrays,
+    camera_params: dict,
+    cfg: RenderConfig,
+    max_bounces: Optional[int] = None,
+    tracer: str = "bvh",
+    rng_key: int = 0,
+):
+    """Render a full frame of radiance, (H, W, 3) float32 in [0, 1], bottom-up
+    row order (GL convention). Single-chip hot path."""
+    width, height = cfg.width, cfg.height
+    frag, uv = camera_rays.pixel_grid(width, height)
+    color = render_rays(
+        arrays, frag, uv, camera_params, cfg, max_bounces, tracer, rng_key
+    )
+    return color.reshape(height, width, 3)
+
+
+def render_radiance_with_stats(
+    arrays: SceneArrays,
+    camera_params: dict,
+    cfg: RenderConfig,
+    max_bounces: Optional[int] = None,
+    tracer: str = "bvh",
+    rng_key: int = 0,
+):
+    """Like render_radiance but also returns the traced-ray count (Mrays/s)."""
+    frag, uv = camera_rays.pixel_grid(cfg.width, cfg.height)
+    color, rays = render_rays(
+        arrays, frag, uv, camera_params, cfg, max_bounces, tracer, rng_key,
+        with_stats=True,
+    )
+    return color.reshape(cfg.height, cfg.width, 3), rays

@@ -1,0 +1,41 @@
+"""Primary-ray generation (the calculateRay kernel, fragment_shader.glsl:204-212).
+
+NDC -> eye -> world unprojection using the camera's inverse projection/view
+matrices, batched over all pixels. uv jitter comes from the active sampler.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .intersect import normalize
+
+
+def pixel_grid(width: int, height: int):
+    """Returns (frag, uv): gl_FragCoord.xy (pixel centers, +0.5) and uv in [0,1],
+    both (H*W, 2) float32, row-major with y increasing upward like GL."""
+    x = jnp.arange(width, dtype=jnp.float32) + 0.5
+    y = jnp.arange(height, dtype=jnp.float32) + 0.5
+    fx, fy = jnp.meshgrid(x, y, indexing="xy")  # (H, W)
+    frag = jnp.stack([fx.ravel(), fy.ravel()], axis=-1)
+    uv = frag / jnp.asarray([width, height], dtype=jnp.float32)
+    return frag, uv
+
+
+def generate_rays(uv, jitter, inv_proj, inv_view, cam_position):
+    """uv, jitter: (R, 2). Returns (origin (R, 3), direction (R, 3))."""
+    uvj = uv + jitter
+    ndc = uvj * 2.0 - 1.0  # (R, 2)
+    clip = jnp.concatenate(
+        [ndc, jnp.full_like(ndc[..., :1], -1.0), jnp.ones_like(ndc[..., :1])], axis=-1
+    )
+    eye = clip @ inv_proj.T  # (R, 4)
+    # ray_eye = (x, y, -1, 0)  (glsl:209)
+    eye = jnp.concatenate(
+        [eye[..., :2], jnp.full_like(eye[..., :1], -1.0), jnp.zeros_like(eye[..., :1])],
+        axis=-1,
+    )
+    world = (eye @ inv_view.T)[..., :3]
+    direction = normalize(world)
+    origin = jnp.broadcast_to(cam_position, direction.shape)
+    return origin, direction

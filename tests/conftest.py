@@ -1,0 +1,50 @@
+"""Test harness: force the CPU backend with 8 virtual devices so multi-chip
+sharding is testable without TPUs (SURVEY.md §4)."""
+
+import os
+
+# Force-assign (not setdefault): the surrounding environment may pin
+# JAX_PLATFORMS to a TPU plugin; tests always run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env is set)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_scene():
+    from rayzen_tpu import demo
+
+    return demo.build_small_scene(64, 48)
+
+
+@pytest.fixture(scope="session")
+def small_arrays(small_scene):
+    from rayzen_tpu import pack_scene, RenderConfig
+
+    return pack_scene(small_scene, RenderConfig(width=64, height=48))
+
+
+@pytest.fixture(scope="session")
+def small_camera(small_scene):
+    import jax.numpy as jnp
+
+    return {k: jnp.asarray(v) for k, v in small_scene.camera.device_params().items()}
+
+
+def random_rays(n, seed=0, spread=2.0):
+    rng = np.random.RandomState(seed)
+    origins = rng.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    return origins, dirs
