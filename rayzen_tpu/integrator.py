@@ -8,9 +8,11 @@ refraction with TIR fallback :723-747, stochastic reflect-vs-diffuse for opaque
 (:706-709), 1/n tone clamp (:772-773).
 
 Rebuilt as a *wavefront*: the whole pixel wave advances bounce by bounce with
-dense masked arithmetic — throughput/alive/current-IOR are (R,)-shaped state, the
-bounce loop is unrolled (static budget) so XLA specializes every stage, and the
-only data-dependent iteration lives inside the traversal/shadow while_loops.
+dense masked arithmetic — throughput/alive/current-IOR are (R,)-shaped state.
+Bounce 0 is peeled (direct lighting happens only there); bounces 1..N-1 run in a
+``lax.while_loop`` that exits when the wave dies, and instances are swept by a
+single compiled ``lax.scan`` (traverse.py) — the whole frame compiles to a small,
+bounded XLA program no matter the bounce budget or instance count.
 
 Faithfully-kept reference quirks (SURVEY.md §7): throughput trims 0.95 (mirror),
 0.98 (TIR), albedo*0.4 (diffuse); direct lighting only on bounce 0; the scatter
@@ -37,8 +39,8 @@ from .ops.shade import (
     refract_dir,
     sky_color,
 )
-from .ops.traverse import brute_force_scene, hit_shading_data, traverse_scene
-from .packing import SceneArrays
+from .ops.traverse import brute_force_world, hit_shading_data, shadow_brute, traverse_world
+from .packing import SceneArrays, WorldArrays, world_geometry
 
 
 def _make_sampler(cfg: RenderConfig, frag, uv, width, height, key: int):
@@ -59,8 +61,63 @@ def _make_sampler(cfg: RenderConfig, frag, uv, width, height, key: int):
     return sampler
 
 
+def _scatter(direction, normal, material, cur_ior, rand_val, hemi_u, hemi_v):
+    """Material-dependent scatter (glsl:722-756): deterministic dielectric
+    refraction with TIR fallback, stochastic reflect-vs-diffuse for opaque.
+
+    Returns (new_dir, throughput_factor (R, 3), new_ior)."""
+    albedo = material[:, mat_mod.ALBEDO]
+    reflectivity = material[:, mat_mod.REFLECTIVITY]
+    transparency = material[:, mat_mod.TRANSPARENCY]
+    mat_ior = material[:, mat_mod.IOR]
+    is_trans = transparency > 0.0
+
+    entering = dot3(-direction, normal) > 0.0
+    n_out = jnp.where(entering[:, None], normal, -normal)
+    ext_ior = cur_ior
+    next_ior = jnp.where(entering, mat_ior, 1.0)
+    eta = ext_ior / next_ior
+    cosi = jnp.clip(dot3(-direction, n_out), 0.0, 1.0)
+    f0 = ((ext_ior - next_ior) / (ext_ior + next_ior)) ** 2
+    fresnel = f0 + (1.0 - f0) * (1.0 - cosi) ** 5
+    refr, refr_ok = refract_dir(direction, n_out, eta)
+
+    tir_case = is_trans & ~refr_ok
+    refract_case = is_trans & refr_ok
+    mirror_case = ~is_trans & (rand_val < reflectivity)
+
+    refl_about_out = reflect(direction, n_out)  # TIR (glsl:736)
+    refl_about_n = reflect(direction, normal)  # opaque mirror (glsl:751)
+    diff_dir = hemisphere_direction(normal, hemi_u, hemi_v)
+
+    new_dir = jnp.where(
+        tir_case[:, None],
+        refl_about_out,
+        jnp.where(
+            refract_case[:, None],
+            refr,
+            jnp.where(mirror_case[:, None], refl_about_n, diff_dir),
+        ),
+    )
+
+    tint = (1.0 - transparency)[:, None] + albedo * transparency[:, None]
+    transmit_w = jnp.clip(tint * (transparency * (1.0 - fresnel))[:, None], 0.0, 1.0)
+    ones = jnp.ones_like(albedo)
+    factor = jnp.where(
+        tir_case[:, None],
+        ones * 0.98,
+        jnp.where(
+            refract_case[:, None],
+            transmit_w,
+            jnp.where(mirror_case[:, None], ones * 0.95, albedo * 0.4),
+        ),
+    )
+    new_ior = jnp.where(refract_case, next_ior, cur_ior)
+    return new_dir, factor, new_ior
+
+
 def trace_wave(
-    arrays: SceneArrays,
+    ws: WorldArrays,
     origin,  # (R, 3)
     direction,  # (R, 3)
     cam_position,  # (3,)
@@ -75,93 +132,48 @@ def trace_wave(
 
     Returns (radiance (R, 3), rays_traced ()) — the count covers every closest-
     hit query (primary + bounces) and every shadow re-cast, i.e. honest traced
-    rays for Mrays/s reporting, not an upper bound."""
-    trace = trace_fn or traverse_scene
-    n_rays = origin.shape[0]
-    color = jnp.zeros((n_rays, 3), dtype=jnp.float32)
-    throughput = jnp.ones((n_rays, 3), dtype=jnp.float32)
-    alive = (
-        jnp.ones((n_rays,), dtype=bool) if active is None else active.astype(bool)
-    )
-    cur_ior = jnp.ones((n_rays,), dtype=jnp.float32)  # medium tracking (glsl:674)
-    rays_traced = jnp.int32(0)
+    rays for Mrays/s reporting, not an upper bound.
 
-    for bounce in range(max_bounces):
-        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
-        hit = trace(arrays, origin, direction, alive)
+    Structure: bounce 0 is peeled out (it alone does direct lighting + shadow
+    rays, glsl:716), and bounces 1..N-1 run in a ``lax.while_loop`` that exits
+    as soon as every ray is dead — so the compiled program contains exactly two
+    instances of the traversal scan plus one shadow loop, keeping XLA compile
+    time flat in the bounce budget."""
+    trace = trace_fn or traverse_world
+    shadow_fn = shadow_brute if trace is brute_force_world else None
+    # all carries derive from `direction` so they are shard_map-varying
+    color = direction * 0.0
+    throughput = direction * 0.0 + 1.0
+    alive = (
+        (direction[:, 0] * 0.0 < 1.0) if active is None else active.astype(bool)
+    )
+    cur_ior = direction[:, 0] * 0.0 + 1.0  # medium tracking (glsl:674)
+
+    def bounce_step(bounce, origin, direction, color, throughput, alive, cur_ior,
+                    rays, with_lighting: bool):
+        rays = rays + jnp.sum(alive.astype(jnp.int32))
+        hit = trace(ws, origin, direction, alive)
         missed = alive & ~hit.found
         color = color + jnp.where(
             missed[:, None], throughput * sky_color(direction, cfg), 0.0
         )
         alive = alive & hit.found
+        normal, material, _ = hit_shading_data(ws, hit)
 
-        normal, material, _ = hit_shading_data(arrays, hit)
-
-        if bounce == 0:
+        if with_lighting:  # bounce 0 only (glsl:716)
             view_dir = normalize(cam_position - hit.point, eps=1e-20)
             direct, shadow_rays = direct_lighting(
-                arrays, hit.point, normal, material, view_dir, alive, cfg,
-                trace_fn=trace,
+                ws, hit.point, normal, material, view_dir, alive, cfg,
+                shadow_fn=shadow_fn,
             )
             color = color + jnp.where(alive[:, None], throughput * direct, 0.0)
-            rays_traced = rays_traced + shadow_rays
+            rays = rays + shadow_rays
 
         rand_val, hemi_u, hemi_v = sampler.bounce_draws(samp, bounce)
-
-        # ---- scatter (glsl:722-756) ----
-        albedo = material[:, mat_mod.ALBEDO]
-        reflectivity = material[:, mat_mod.REFLECTIVITY]
-        transparency = material[:, mat_mod.TRANSPARENCY]
-        mat_ior = material[:, mat_mod.IOR]
-        is_trans = transparency > 0.0
-
-        entering = dot3(-direction, normal) > 0.0
-        n_out = jnp.where(entering[:, None], normal, -normal)
-        ext_ior = cur_ior
-        next_ior = jnp.where(entering, mat_ior, 1.0)
-        eta = ext_ior / next_ior
-        cosi = jnp.clip(dot3(-direction, n_out), 0.0, 1.0)
-        f0 = ((ext_ior - next_ior) / (ext_ior + next_ior)) ** 2
-        fresnel = f0 + (1.0 - f0) * (1.0 - cosi) ** 5
-        refr, refr_ok = refract_dir(direction, n_out, eta)
-
-        tir_case = is_trans & ~refr_ok
-        refract_case = is_trans & refr_ok
-        mirror_case = ~is_trans & (rand_val < reflectivity)
-        diffuse_case = ~is_trans & ~mirror_case
-
-        refl_about_out = reflect(direction, n_out)  # TIR (glsl:736)
-        refl_about_n = reflect(direction, normal)  # opaque mirror (glsl:751)
-        diff_dir = hemisphere_direction(normal, hemi_u, hemi_v)
-
-        new_dir = jnp.where(
-            tir_case[:, None],
-            refl_about_out,
-            jnp.where(
-                refract_case[:, None],
-                refr,
-                jnp.where(mirror_case[:, None], refl_about_n, diff_dir),
-            ),
+        new_dir, factor, cur_ior = _scatter(
+            direction, normal, material, cur_ior, rand_val, hemi_u, hemi_v
         )
-
-        tint = (1.0 - transparency)[:, None] + albedo * transparency[:, None]
-        transmit_w = jnp.clip(
-            tint * (transparency * (1.0 - fresnel))[:, None], 0.0, 1.0
-        )
-        throughput = jnp.where(
-            tir_case[:, None],
-            throughput * 0.98,
-            jnp.where(
-                refract_case[:, None],
-                throughput * transmit_w,
-                jnp.where(
-                    mirror_case[:, None],
-                    throughput * 0.95,
-                    throughput * albedo * 0.4,
-                ),
-            ),
-        )
-        cur_ior = jnp.where(refract_case, next_ior, cur_ior)
+        throughput = throughput * factor
 
         # self-intersection offset along the *geometric* normal, signed by the
         # new direction (glsl:758-761)
@@ -170,12 +182,36 @@ def trace_wave(
         direction = new_dir
 
         # ---- Russian roulette (glsl:764-769); reuses rand_val ----
-        if bounce > cfg.rr_start_bounce:
-            p = jnp.max(throughput, axis=-1)
-            kill = rand_val > p
-            alive = alive & ~kill
-            throughput = throughput / jnp.maximum(p, 1e-12)[:, None]
+        apply_rr = jnp.asarray(bounce, jnp.int32) > cfg.rr_start_bounce
+        p = jnp.max(throughput, axis=-1)
+        kill = apply_rr & (rand_val > p)
+        alive = alive & ~kill
+        throughput = jnp.where(
+            apply_rr, throughput / jnp.maximum(p, 1e-12)[:, None], throughput
+        )
+        return origin, direction, color, throughput, alive, cur_ior, rays
 
+    rays0 = jnp.sum(alive.astype(jnp.int32)) * 0  # varying-derived zero
+    state = bounce_step(
+        0, origin, direction, color, throughput, alive, cur_ior, rays0,
+        with_lighting=True,
+    )
+
+    if max_bounces > 1:
+
+        def cond(st):
+            b = st[0]
+            alive = st[5]
+            return (b < max_bounces) & jnp.any(alive)
+
+        def body(st):
+            b = st[0]
+            out = bounce_step(b, *st[1:], with_lighting=False)
+            return (b + 1,) + out
+
+        state = jax.lax.while_loop(cond, body, (jnp.int32(1),) + state)[1:]
+
+    _, _, color, _, _, _, rays_traced = state
     return color, rays_traced
 
 
@@ -197,8 +233,9 @@ def render_rays(
     This is the shard-level entry: multi-chip rendering runs exactly this
     function on each device's tile of rays (parallel.py)."""
     max_bounces = max_bounces or cfg.max_bounces
-    trace_fn = brute_force_scene if tracer == "brute" else None
+    trace_fn = brute_force_world if tracer == "brute" else None
     sampler = _make_sampler(cfg, frag, uv, cfg.width, cfg.height, rng_key)
+    ws = world_geometry(arrays)  # one refit per frame, shared by all waves
 
     total = jnp.zeros((frag.shape[0], 3), dtype=jnp.float32)
     rays_traced = jnp.int32(0)
@@ -213,7 +250,7 @@ def render_rays(
             camera_params["position"],
         )
         radiance, rays = trace_wave(
-            arrays,
+            ws,
             origin,
             direction,
             camera_params["position"],

@@ -1,0 +1,286 @@
+"""Pallas packet-traversal kernels — the TPU fast path for BVH walks.
+
+Why packets: TPU has no per-lane gather from VMEM worth using, so per-ray
+traversal state (each lane at a different node) can't fetch nodes efficiently.
+Instead a *packet* of PACKET_ROWS x 128 rays (one VPU tile group) walks the
+unified world-space tree together with a single SCALAR node pointer:
+
+- node fetch = one dynamic-slice row read from the VMEM-resident record table
+  (packing.world_geometry packs bounds + links + leaf triangles + leaf
+  transparencies into one row per node);
+- the AABB slab test and Möller–Trumbore run dense over the whole packet (pure
+  VPU, zero gathers);
+- descend-vs-skip is decided by packet consensus (any ray hit the box), using
+  the same stackless miss links as the XLA path — traversal state is one int.
+
+This is the classic SIMD packet tracing (Wald-style) mapped onto the TPU's
+8x128 vector unit, replacing the reference's per-pixel divergent megakernel
+walk (fragment_shader.glsl:419-503). Coherent packets (primary, shadow) visit
+near-minimal node sets; incoherent bounce packets visit the union — ray
+ordering keeps pixels adjacent so bounce coherence stays reasonable.
+
+The grid iterates packets; the record table is a whole-array VMEM operand
+shared by every grid step (scenes up to ~70k nodes / ~150k triangles fit the
+~16 MB VMEM of a v5e core; bigger scenes fall back to the XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..packing import WorldArrays
+from .intersect import DET_EPS, T_EPS, T_FAR
+from .traverse import Hit
+
+PACKET_ROWS = 8  # sublanes per packet; packet = PACKET_ROWS * 128 rays
+PACKET = PACKET_ROWS * 128
+
+
+def _safe_inv(d):
+    # avoid 0*inf NaNs in the slab test: huge-but-finite inverse
+    return jnp.where(d >= 0.0, 1.0, -1.0) / jnp.maximum(jnp.abs(d), 1e-30)
+
+
+def _slab(ox, oy, oz, ix, iy, iz, bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
+    t0 = (bminx - ox) * ix
+    t1 = (bmaxx - ox) * ix
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    t0 = (bminy - oy) * iy
+    t1 = (bmaxy - oy) * iy
+    tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+    tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+    t0 = (bminz - oz) * iz
+    t1 = (bmaxz - oz) * iz
+    tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+    tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+    return tmin, tmax >= jnp.maximum(tmin, 0.0)
+
+
+def _mt_broadcast(ox, oy, oz, dx, dy, dz, tri):
+    """Möller–Trumbore: one triangle (9 scalars v0|e1|e2) vs a dense packet."""
+    v0x, v0y, v0z = tri[0], tri[1], tri[2]
+    e1x, e1y, e1z = tri[3], tri[4], tri[5]
+    e2x, e2y, e2z = tri[6], tri[7], tri[8]
+    # h = d x e2
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    valid = jnp.abs(a) >= DET_EPS
+    f = 1.0 / jnp.where(valid, a, 1.0)
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    # q = s x e1
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    hit = valid & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t > T_EPS)
+    return t, hit
+
+
+def _make_closest_kernel(leaf_k: int):
+    def kernel(rec_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               act_ref, t_ref, tri_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        act = act_ref[:] > 0.5
+        ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+        t0 = jnp.full(ox.shape, T_FAR, jnp.float32)
+        tri0 = jnp.full(ox.shape, -1, jnp.int32)
+
+        def cond(c):
+            return c[0] >= 0
+
+        def body(c):
+            cur, t_best, tri_best = c
+            row = rec_ref[pl.ds(cur, 1), :]  # (1, W) scalar-indexed node fetch
+            tmin, box = _slab(
+                ox, oy, oz, ix, iy, iz,
+                row[0, 0], row[0, 1], row[0, 2], row[0, 3], row[0, 4], row[0, 5],
+            )
+            hit = box & act & (tmin <= t_best)
+            left = row[0, 6].astype(jnp.int32)
+            count = row[0, 7].astype(jnp.int32)
+            miss = row[0, 8].astype(jnp.int32)
+            is_leaf = count >= 0
+            any_hit = jnp.any(hit)
+
+            def do_leaf(tt):
+                t_best, tri_best = tt
+                for k in range(leaf_k):
+                    tri = [row[0, 9 + 9 * k + c] for c in range(9)]
+                    t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+                    better = hit & h & (t < t_best) & (count > k)
+                    t_best = jnp.where(better, t, t_best)
+                    tri_best = jnp.where(better, left + k, tri_best)
+                return t_best, tri_best
+
+            t_best, tri_best = jax.lax.cond(
+                any_hit & is_leaf, do_leaf, lambda tt: tt, (t_best, tri_best)
+            )
+            nxt = jnp.where(any_hit & jnp.logical_not(is_leaf), left, miss)
+            return nxt, t_best, tri_best
+
+        _, t_best, tri_best = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, tri0))
+        t_ref[:] = t_best
+        tri_ref[:] = tri_best
+
+    return kernel
+
+
+def _make_shadow_kernel(leaf_k: int, min_visibility: float, t_eps: float):
+    transp_col = 9 + 9 * leaf_k
+
+    def kernel(rec_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               md_ref, act_ref, vis_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        maxd = md_ref[:]
+        act = act_ref[:] > 0.5
+        ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+        vis0 = jnp.ones(ox.shape, jnp.float32)
+
+        def cond(c):
+            return c[0] >= 0
+
+        def body(c):
+            cur, vis = c
+            row = rec_ref[pl.ds(cur, 1), :]
+            tmin, box = _slab(
+                ox, oy, oz, ix, iy, iz,
+                row[0, 0], row[0, 1], row[0, 2], row[0, 3], row[0, 4], row[0, 5],
+            )
+            live = act & (vis > min_visibility)  # early-kill floor (glsl:511)
+            hit = box & live & (tmin <= maxd)
+            left = row[0, 6].astype(jnp.int32)
+            count = row[0, 7].astype(jnp.int32)
+            miss = row[0, 8].astype(jnp.int32)
+            is_leaf = count >= 0
+            any_hit = jnp.any(hit)
+
+            def do_leaf(vis):
+                for k in range(leaf_k):
+                    tri = [row[0, 9 + 9 * k + c] for c in range(9)]
+                    t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+                    blocking = hit & h & (t >= t_eps) & (t < maxd) & (count > k)
+                    factor = row[0, transp_col + k]  # 0 for opaque
+                    vis = jnp.where(blocking, vis * factor, vis)
+                return vis
+
+            vis = jax.lax.cond(any_hit & is_leaf, do_leaf, lambda v: v, vis)
+            all_dead = jnp.logical_not(jnp.any(act & (vis > min_visibility)))
+            nxt = jnp.where(any_hit & jnp.logical_not(is_leaf), left, miss)
+            nxt = jnp.where(all_dead, -1, nxt)
+            return nxt, vis
+
+        _, vis = jax.lax.while_loop(cond, body, (jnp.int32(0), vis0))
+        vis_ref[:] = vis
+
+    return kernel
+
+
+def _pad_rows(x, rows):
+    r = x.shape[0] % rows
+    if r == 0:
+        return x
+    return jnp.pad(x, [(0, rows - r)] + [(0, 0)] * (x.ndim - 1))
+
+
+def _as_tiles(v):
+    """(R,) -> padded (rows, 128)."""
+    return _pad_rows(v, 128).reshape(-1, 128)
+
+
+def _ray_operands(origin, direction, active):
+    ox = _as_tiles(origin[:, 0])
+    oy = _as_tiles(origin[:, 1])
+    oz = _as_tiles(origin[:, 2])
+    dx = _as_tiles(direction[:, 0])
+    dy = _as_tiles(direction[:, 1])
+    dz = _as_tiles(direction[:, 2])
+    act = _as_tiles(active.astype(jnp.float32))
+    rows = ox.shape[0]
+    pad = rows % PACKET_ROWS
+    if pad:
+        pad = PACKET_ROWS - pad
+        ox, oy, oz, dx, dy, dz, act = (
+            jnp.pad(a, ((0, pad), (0, 0))) for a in (ox, oy, oz, dx, dy, dz, act)
+        )
+    return ox, oy, oz, dx, dy, dz, act
+
+
+def _grid_specs(n_ray_inputs):
+    ray_spec = pl.BlockSpec(
+        (PACKET_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * n_ray_inputs
+    return in_specs, ray_spec
+
+
+def pallas_closest_hit(ws: WorldArrays, origin, direction, active) -> Hit:
+    """Drop-in replacement for traverse.traverse_world on TPU."""
+    n_rays = origin.shape[0]
+    ox, oy, oz, dx, dy, dz, act = _ray_operands(origin, direction, active)
+    rows = ox.shape[0]
+    grid = rows // PACKET_ROWS
+    in_specs, ray_spec = _grid_specs(7)
+    kernel = _make_closest_kernel(ws.leaf_k)
+    t, tri = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        ),
+        in_specs=in_specs,
+        out_specs=(ray_spec, ray_spec),
+    )(ws.records, ox, oy, oz, dx, dy, dz, act)
+    t = t.reshape(-1)[:n_rays]
+    tri = tri.reshape(-1)[:n_rays]
+    found = tri >= 0
+    point = origin + direction * t[:, None]
+    inst = jnp.where(found, ws.tri_inst[jnp.maximum(tri, 0)], -1)
+    return Hit(t=t, point=point, tri=tri, inst=inst, found=found)
+
+
+def pallas_shadow_walk(
+    ws: WorldArrays,
+    origin,
+    direction,
+    max_dist,
+    active,
+    min_visibility: float = 0.05,
+    t_eps: float = 1e-3,
+):
+    """Drop-in replacement for traverse.shadow_walk on TPU."""
+    n_rays = origin.shape[0]
+    ox, oy, oz, dx, dy, dz, act = _ray_operands(origin, direction, active)
+    md = _as_tiles(jnp.broadcast_to(max_dist, (n_rays,)))
+    if md.shape[0] != ox.shape[0]:
+        md = jnp.pad(md, ((0, ox.shape[0] - md.shape[0]), (0, 0)))
+    rows = ox.shape[0]
+    grid = rows // PACKET_ROWS
+    in_specs, ray_spec = _grid_specs(8)
+    kernel = _make_shadow_kernel(ws.leaf_k, float(min_visibility), float(t_eps))
+    vis = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        in_specs=in_specs,
+        out_specs=ray_spec,
+    )(ws.records, ox, oy, oz, dx, dy, dz, md, act)
+    vis = vis.reshape(-1)[:n_rays]
+    vis = jnp.where(active, vis, 1.0)
+    rays = jnp.sum(active.astype(jnp.int32))
+    return vis, rays

@@ -44,15 +44,18 @@ class ReferenceSampler:
         j1 = ref_rand(self.seed + 1.0)
         return jnp.stack([j0, j1], axis=-1) * 0.00002
 
-    def _tempseed(self, bounce: int):
-        # (glsl:696)
-        return self.seed * float(bounce * bounce) * 12793.46 + float(bounce) * 1423.34
+    def _tempseed(self, bounce):
+        # (glsl:696); ``bounce`` may be a traced scalar (loop induction var)
+        b = jnp.asarray(bounce, dtype=jnp.float32)
+        return self.seed * (b * b) * 12793.46 + b * 1423.34
 
-    def bounce_draws(self, samp: int, bounce: int):
+    def bounce_draws(self, samp: int, bounce):
         """Returns (rand_val, hemi_u, hemi_v); the reference reuses rand_val for
         both the reflect-vs-diffuse choice (:720) and Russian roulette (:766)."""
         ts = self._tempseed(bounce)
-        rand_val = ref_rand(ts + jnp.asarray([samp, bounce], dtype=jnp.float32))
+        b = jnp.asarray(bounce, dtype=jnp.float32)
+        offs = jnp.stack([jnp.asarray(samp, jnp.float32), b])
+        rand_val = ref_rand(ts + offs)
         hemi_u = ref_rand(ts)
         hemi_v = ref_rand(ts + 1.0)
         return rand_val, hemi_u, hemi_v
@@ -88,9 +91,11 @@ class HashSampler:
     def start_sample(self, samp: int):
         self._samp = samp
 
-    def _draw(self, bounce: int, dim: int):
+    def _draw(self, bounce, dim: int):
+        # ``bounce`` may be a traced scalar
+        b = jnp.asarray(bounce).astype(jnp.uint32)
         h = _hash_u32(self.pixel_id ^ _hash_u32(self.key + jnp.uint32(0x9E3779B9)))
-        h = _hash_u32(h + jnp.uint32(self._samp * 7919 + bounce * 127 + dim))
+        h = _hash_u32(h + jnp.uint32(self._samp * 7919) + b * jnp.uint32(127) + jnp.uint32(dim))
         return _u32_to_unit_float(h)
 
     def camera_jitter(self):

@@ -25,9 +25,9 @@ import jax.numpy as jnp
 from .. import light as light_mod
 from .. import material as mat_mod
 from ..config import RenderConfig
-from ..packing import SceneArrays
+from ..packing import WorldArrays
 from .intersect import dot3, normalize
-from .traverse import hit_shading_data, traverse_scene
+from .traverse import hit_shading_data, shadow_walk, traverse_world
 
 PI_REF = 3.14159  # the reference's pi (glsl:197,600,648,657)
 SHADOW_EPS = 1e-3  # glsl:510
@@ -88,80 +88,41 @@ class ShadowResult(NamedTuple):
 
 
 def shadow_visibility(
-    arrays: SceneArrays,
+    ws: WorldArrays,
     origin,  # (R, 3)
     direction,  # (R, 3) normalized, toward the light
     max_dist,  # (R,) or scalar
     active,  # (R,) bool
     cfg: RenderConfig,
-    trace_fn=None,
+    shadow_fn=None,
 ) -> ShadowResult:
     """Transparent-aware occlusion query (shadowVisibility, glsl:507-528).
 
-    Re-casts the closest-hit query through transparent surfaces, multiplying
-    ``visibility`` by each transparency factor, until an opaque blocker (0), the
-    light is reached, visibility falls below the floor, or 32 iterations pass.
-    The whole wave iterates together; rays that resolved idle under masks — in
-    typical scenes the loop runs 1-3 iterations, not 32."""
-    trace = trace_fn or traverse_scene
+    The reference re-casts a closest-hit query through each transparent surface
+    (up to 32 traversals). The transmission product is order-independent, so
+    this runs a SINGLE transmission-accumulating tree walk
+    (traverse.shadow_walk) with identical outcomes: opaque blocker -> 0,
+    accumulated transparency otherwise, invisible below the 0.05 floor."""
+    fn = shadow_fn or shadow_walk
     n_rays = origin.shape[0]
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, jnp.float32), (n_rays,))
-    # derive loop carries from ``direction`` (data-dependence) so they inherit
-    # shard_map varying-ness (see traverse.traverse_blas)
-    traveled0 = direction[:, 0] * 0.0
-    vis0 = traveled0 + 1.0
-    visible0 = active & False
-    done0 = ~active  # inactive rays are trivially done
-    rays0 = jnp.sum(traveled0).astype(jnp.int32)  # varying-derived zero
-    state0 = (origin, vis0, traveled0, visible0, done0, jnp.int32(0), rays0)
-
-    def cond(state):
-        done, it = state[4], state[5]
-        return (it < cfg.shadow_max_iters) & jnp.any(~done)
-
-    def body(state):
-        o, vis, traveled, visible, done, it, rays = state
-        pending = ~done
-        rays = rays + jnp.sum(pending.astype(jnp.int32))
-        hit = trace(arrays, o, direction, pending)
-        no_hit = pending & ~hit.found
-        small_t = pending & hit.found & (hit.t < SHADOW_EPS)
-        solid = pending & hit.found & (hit.t >= SHADOW_EPS)
-        traveled_new = jnp.where(solid, traveled + hit.t, traveled)
-        reached = solid & (traveled_new >= max_dist)
-        blocked_or_through = solid & ~reached
-        _, material, _ = hit_shading_data(arrays, hit)
-        transp = material[:, mat_mod.TRANSPARENCY]
-        is_trans = blocked_or_through & (transp > 0.0)
-        is_opaque = blocked_or_through & ~is_trans
-        vis = jnp.where(is_trans, vis * transp, vis)
-        vis = jnp.where(is_opaque, 0.0, vis)
-        trans_dead = is_trans & (vis <= cfg.shadow_min_visibility)
-        visible = jnp.where(no_hit | reached, True, visible)
-        visible = jnp.where(is_opaque | trans_dead, False, visible)
-        done = done | no_hit | reached | is_opaque | trans_dead
-        o = jnp.where(
-            small_t[:, None],
-            o + direction * SHADOW_EPS,
-            jnp.where(is_trans[:, None], hit.point + direction * SHADOW_EPS, o),
-        )
-        return o, vis, traveled_new, visible, done, it + 1, rays
-
-    _, vis, _, visible, done, _, rays = jax.lax.while_loop(cond, body, state0)
-    # rays that exhausted the iteration budget: visibility > floor (glsl:527)
-    visible = jnp.where(done, visible, vis > cfg.shadow_min_visibility)
-    return ShadowResult(visible & active, vis, rays)
+    vis, rays = fn(
+        ws, origin, direction, max_dist, active,
+        min_visibility=cfg.shadow_min_visibility, t_eps=SHADOW_EPS,
+    )
+    visible = (vis > cfg.shadow_min_visibility) & active
+    return ShadowResult(visible, vis, rays)
 
 
 def direct_lighting(
-    arrays: SceneArrays,
+    ws: WorldArrays,
     point,  # (R, 3)
     normal,  # (R, 3)
     material,  # (R, 8)
     view_dir,  # (R, 3) toward the camera
     active,  # (R,) bool
     cfg: RenderConfig,
-    trace_fn=None,
+    shadow_fn=None,
 ):
     """calculateLighting (glsl:569-663): returns (R, 3) radiance.
 
@@ -188,8 +149,8 @@ def direct_lighting(
     n_dot_v = jnp.maximum(dot3(normal, view_dir), 0.0)
     shadow_rays = jnp.int32(0)
 
-    for li in range(arrays.num_lights):
-        lrow = arrays.lights[li]
+    for li in range(ws.num_lights):
+        lrow = ws.lights[li]
         posdir = lrow[light_mod.POSDIR]
         color = lrow[light_mod.COLOR]
         power = lrow[light_mod.POWER]
@@ -204,8 +165,8 @@ def direct_lighting(
         max_dist = jnp.where(is_point, dist, 1e30)
 
         shadow = shadow_visibility(
-            arrays, point + l_dir * 0.001, l_dir, max_dist, active, cfg,
-            trace_fn=trace_fn,
+            ws, point + l_dir * 0.001, l_dir, max_dist, active, cfg,
+            shadow_fn=shadow_fn,
         )
         attenuation = attenuation * shadow.visibility
         lit = active & shadow.visible

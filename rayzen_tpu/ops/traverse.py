@@ -4,22 +4,24 @@ Reference: traverseTLAS / traverseBLAS (fragment_shader.glsl:419-503) — per-pi
 stack-based (int stack[64]) tree walks inside a divergent megakernel. That shape is
 wrong for a vector machine, so this module restructures it (SURVEY.md §7):
 
-- BLAS traversal is *stackless*: nodes carry precomputed miss links
+- Traversal is *stackless*: nodes carry precomputed miss links
   (accel/builder.py), so each ray's traversal state is one int. All rays advance in
   lockstep inside a single ``lax.while_loop``; finished rays (cur == -1) idle under
   masks until every ray in the wave is done.
-- The TLAS is handled densely: with instance counts this small (the reference demo
-  has 7; TLAS leaves hold exactly 1 instance, BVH.cpp:204), testing each instance's
-  world AABB against every ray and sweeping instances sequentially beats a second
-  tree walk — each sweep step is a dense masked BLAS traversal of the whole wave.
-  Matches the reference's traversal semantics: ray transformed to object space by
-  the instance inverse transform with *normalized* local direction (glsl:476-478),
-  world-space t recovered as |worldHit - origin| (glsl:485), TLAS-level pruning via
-  the world AABB (glsl:468).
+- The two-level TLAS/BLAS structure is *stitched into one world-space tree* at
+  pack time (packing._build_unified): TLAS leaves link to their BLAS root, BLAS
+  escape links continue at the TLAS level. Bounds are refit and triangles
+  pre-transformed to world space on device each frame (packing.world_geometry),
+  so the per-ray loop does no matrix math, no per-instance sweeps, and runs
+  exactly one while_loop per wave — the iteration count (the TPU's real cost
+  driver) is a single tree walk rather than instances x tree walks.
+  World-space t falls out of Möller–Trumbore directly; the reference recovers
+  the same quantity as |worldHit - origin| (glsl:485). Pruning `tmin > tHit`
+  (glsl:430/468) carries over unchanged.
 
-Node/triangle fetches are row gathers from HBM/VMEM-resident arrays; leaf
-triangle tests are unrolled ``leaf_size`` wide (leaf size <= 4, BVH.cpp:115) and
-masked by the leaf's actual count.
+Node/triangle fetches are row gathers (fast on TPU: ~40 G rows/s measured on
+v5e); leaf triangle tests are unrolled ``leaf_size`` wide (leaf size <= 4,
+BVH.cpp:115) and masked by the leaf's actual count.
 """
 
 from __future__ import annotations
@@ -30,8 +32,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..packing import SceneArrays, instance_world_aabbs
-from .intersect import T_FAR, face_normal, moller_trumbore, normalize, slab_test
+from ..packing import SceneArrays, WorldArrays, world_geometry
+from .intersect import T_FAR, face_normal, moller_trumbore, slab_test
 
 
 @jax.tree_util.register_dataclass
@@ -110,124 +112,197 @@ def traverse_blas(
     return t_best, tri_best
 
 
-def traverse_scene(
-    arrays: SceneArrays,
+def _unpack_record(rec, leaf_k):
+    """Split a gathered (R, W) node-record batch into its fields. Meta ints are
+    float-encoded values (see packing.world_geometry), exact below 2^24."""
+    bmin = rec[:, 0:3]
+    bmax = rec[:, 3:6]
+    meta = rec[:, 6:9].astype(jnp.int32)
+    tris = rec[:, 9 : 9 + 9 * leaf_k].reshape(rec.shape[0], leaf_k, 9)
+    return bmin, bmax, meta[:, 0], meta[:, 1], meta[:, 2], tris
+
+
+def traverse_world(
+    ws: WorldArrays,
     origin,  # (R, 3) world space
     direction,  # (R, 3) world space, normalized
     active,  # (R,) bool
-    leaf_size: int = 4,
 ) -> Hit:
-    """Closest hit over all instances (traverseTLAS semantics, glsl:457-503)."""
-    n_rays = origin.shape[0]
-    best_t = jnp.full((n_rays,), T_FAR, dtype=jnp.float32)
-    best_point = jnp.zeros((n_rays, 3), dtype=jnp.float32)
-    best_tri = jnp.full((n_rays,), -1, dtype=jnp.int32)
-    best_inst = jnp.full((n_rays,), -1, dtype=jnp.int32)
+    """Closest hit over the unified world-space tree (traverseTLAS semantics,
+    glsl:457-503, but with the two levels stitched into one stackless walk —
+    no per-instance ray transforms, one while_loop per wave regardless of
+    instance count or scene size). One (R, W) record gather per step feeds the
+    box test AND the (inlined) leaf triangle tests."""
+    inv_dir = 1.0 / direction
+    cur0 = jnp.where(active, 0, -1).astype(jnp.int32)
+    t0 = direction[:, 0] * 0.0 + jnp.float32(T_FAR)
+    tri0 = cur0 * 0 - 1
+    leaf_k = ws.leaf_k
 
-    wmin, wmax = instance_world_aabbs(arrays)  # (I, 3) on device
-    inv_dir_w = 1.0 / direction
+    def cond(state):
+        return jnp.any(state[0] >= 0)
 
-    for i, meta in enumerate(arrays.instance_meta):
-        if meta.num_triangles == 0:
-            continue  # empty mesh (e.g. the reference's missing car.obj)
-        tmin_w, _, hit_w = slab_test(origin, inv_dir_w, wmin[i], wmax[i])
-        a_i = active & hit_w & (tmin_w <= best_t)
-        inv_t = arrays.inv_transforms[i]
-        o_l = origin @ inv_t[:3, :3].T + inv_t[:3, 3]
-        d_l = normalize(direction @ inv_t[:3, :3].T, eps=1e-20)
-        t_l, tri = traverse_blas(
-            arrays, o_l, d_l, a_i, meta.node_offset, meta.tri_offset, leaf_size
-        )
-        got = tri >= 0
-        hit_l = o_l + d_l * t_l[:, None]
-        fwd = arrays.transforms[i]
-        hit_w_pt = hit_l @ fwd[:3, :3].T + fwd[:3, 3]
-        delta = hit_w_pt - origin
-        t_w = jnp.sqrt(jnp.sum(delta * delta, axis=-1))  # world t (glsl:485)
-        better = got & (t_w < best_t)
-        best_t = jnp.where(better, t_w, best_t)
-        best_point = jnp.where(better[:, None], hit_w_pt, best_point)
-        best_tri = jnp.where(better, tri, best_tri)
-        best_inst = jnp.where(better, jnp.int32(i), best_inst)
+    def body(state):
+        cur, t_best, tri_best = state
+        alive = cur >= 0
+        rec = ws.records[jnp.maximum(cur, 0)]  # single gather per step
+        bmin, bmax, left_first, count, miss, tris = _unpack_record(rec, leaf_k)
+        tmin, _, box_hit = slab_test(origin, inv_dir, bmin, bmax)
+        box_ok = alive & box_hit & (tmin <= t_best)  # prune (glsl:430/468)
+        is_leaf = count >= 0  # count==-1 internal; 0 = empty-scene leaf
+        leaf_ok = box_ok & is_leaf
+        for k in range(leaf_k):
+            lane = leaf_ok & (k < count)
+            t, h = moller_trumbore(
+                origin, direction,
+                tris[:, k, 0:3], tris[:, k, 3:6], tris[:, k, 6:9],
+            )
+            better = lane & h & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            tri_best = jnp.where(better, left_first + k, tri_best)
+        nxt = jnp.where(box_ok & ~is_leaf, left_first, miss)
+        cur = jnp.where(alive, nxt, cur)
+        return cur, t_best, tri_best
 
-    return Hit(
-        t=best_t,
-        point=best_point,
-        tri=best_tri,
-        inst=best_inst,
-        found=best_tri >= 0,
+    _, t_best, tri_best = jax.lax.while_loop(cond, body, (cur0, t0, tri0))
+    found = tri_best >= 0
+    point = origin + direction * t_best[:, None]
+    inst = jnp.where(found, ws.tri_inst[jnp.maximum(tri_best, 0)], -1)
+    return Hit(t=t_best, point=point, tri=tri_best, inst=inst, found=found)
+
+
+def shadow_walk(
+    ws: WorldArrays,
+    origin,  # (R, 3)
+    direction,  # (R, 3) toward the light, normalized
+    max_dist,  # (R,)
+    active,  # (R,) bool
+    min_visibility: float = 0.05,
+    t_eps: float = 1e-3,
+):
+    """Transmission-accumulating occlusion walk (shadowVisibility semantics,
+    glsl:507-528) in a SINGLE tree traversal.
+
+    The reference re-casts a closest-hit query from each transparent surface (up
+    to 32 traversals per shadow ray). The transmission product over blockers is
+    order-independent, so one walk that multiplies ``visibility`` by each
+    intersected surface's transparency (0 for opaque) within (t_eps, max_dist)
+    computes the same answer — opaque blocker => 0, early-kill below the
+    ``min_visibility`` floor (glsl:511) folds into the traversal mask.
+
+    Returns (visibility (R,), rays ()): rays counts occlusion queries issued
+    (one per active ray), the honest unit for Mrays/s.
+    """
+    inv_dir = 1.0 / direction
+    cur0 = jnp.where(active, 0, -1).astype(jnp.int32)
+    vis0 = direction[:, 0] * 0.0 + 1.0
+    leaf_k = ws.leaf_k
+
+    def cond(state):
+        return jnp.any(state[0] >= 0)
+
+    def body(state):
+        cur, vis = state
+        alive = cur >= 0
+        rec = ws.records[jnp.maximum(cur, 0)]
+        bmin, bmax, left_first, count, miss, tris = _unpack_record(rec, leaf_k)
+        tmin, _, box_hit = slab_test(origin, inv_dir, bmin, bmax)
+        box_ok = alive & box_hit & (tmin <= max_dist)
+        is_leaf = count >= 0
+        leaf_ok = box_ok & is_leaf
+        for k in range(leaf_k):
+            lane = leaf_ok & (k < count)
+            t, h = moller_trumbore(
+                origin, direction,
+                tris[:, k, 0:3], tris[:, k, 3:6], tris[:, k, 6:9],
+            )
+            blocking = lane & h & (t >= t_eps) & (t < max_dist)
+            transp = ws.materials[ws.tri_mat[left_first + k], 6]  # TRANSPARENCY
+            factor = jnp.where(transp > 0.0, transp, 0.0)
+            vis = jnp.where(blocking, vis * factor, vis)
+        # early kill below the visibility floor (glsl:511)
+        dead = vis <= min_visibility
+        nxt = jnp.where(box_ok & ~is_leaf, left_first, miss)
+        cur = jnp.where(alive & ~dead, nxt, jnp.where(dead, -1, cur))
+        return cur, vis
+
+    _, vis = jax.lax.while_loop(cond, body, (cur0, vis0))
+    rays = jnp.sum(active.astype(jnp.int32))
+    return vis, rays
+
+
+def shadow_brute(
+    ws: WorldArrays,
+    origin,
+    direction,
+    max_dist,
+    active,
+    min_visibility: float = 0.05,
+    t_eps: float = 1e-3,
+):
+    """BVH-free oracle for shadow_walk: product of transmission over every
+    world triangle intersected within range."""
+    t, h = moller_trumbore(
+        origin[:, None, :],
+        direction[:, None, :],
+        ws.tri_v0[None, :, :],
+        ws.tri_e1[None, :, :],
+        ws.tri_e2[None, :, :],
     )
+    blocking = h & (t >= t_eps) & (t < max_dist[:, None])
+    transp = ws.materials[ws.tri_mat, 6][None, :]  # (1, Tw)
+    factor = jnp.where(transp > 0.0, transp, 0.0)
+    vis = jnp.prod(jnp.where(blocking, factor, 1.0), axis=1)
+    vis = jnp.where(active, vis, 1.0)
+    rays = jnp.sum(active.astype(jnp.int32))
+    return vis, rays
 
 
-def hit_shading_data(arrays: SceneArrays, hit: Hit):
-    """Resolve the winning triangle into (world normal, material row).
+def hit_shading_data(ws: WorldArrays, hit: Hit):
+    """Resolve the winning triangle into (world normal, material row, mat idx).
 
-    Normal = normalized geometric normal transformed by the inverse-transpose of
-    the instance transform (glsl:489-490); NOT flipped toward the ray, faithful to
-    hitTriangle (glsl:411)."""
+    Geometry is already world-space, so the normal is just the normalized
+    geometric cross product — equivalent to the reference's inverse-transpose
+    transform of the object-space normal (glsl:489-490) for orientation-
+    preserving instance transforms; NOT flipped toward the ray (glsl:411)."""
     tid = jnp.maximum(hit.tri, 0)
-    e1 = arrays.tri_e1[tid]
-    e2 = arrays.tri_e2[tid]
-    n_local = face_normal(e1, e2)
-    inst = jnp.maximum(hit.inst, 0)
-    inv_t = arrays.inv_transforms[inst]  # (R, 4, 4) gather; instance count is small
-    # normalMatrix = transpose(inverseTransform) => n_w = n_l @ invT[:3,:3]
-    n_world = normalize(
-        jnp.einsum("rk,rkj->rj", n_local, inv_t[:, :3, :3]), eps=1e-20
-    )
-    mat_idx = arrays.tri_mat[tid]
-    material = arrays.materials[mat_idx]  # (R, 8)
+    n_world = face_normal(ws.tri_e1[tid], ws.tri_e2[tid])
+    mat_idx = ws.tri_mat[tid]
+    material = ws.materials[mat_idx]  # (R, 8)
     return n_world, material, mat_idx
 
 
-def brute_force_scene(
-    arrays: SceneArrays, origin, direction, active
-) -> Hit:
-    """BVH-free oracle: intersect every instanced triangle of every instance.
+def brute_force_world(ws: WorldArrays, origin, direction, active) -> Hit:
+    """BVH-free oracle: intersect every world-space triangle.
 
-    This is the ground truth the reference never had (SURVEY.md §4) — used by the
-    golden-image tests to validate the BVH path, and by tiny scenes where
-    traversal overhead dominates."""
-    n_rays = origin.shape[0]
-    best_t = jnp.full((n_rays,), T_FAR, dtype=jnp.float32)
-    best_point = jnp.zeros((n_rays, 3), dtype=jnp.float32)
-    best_tri = jnp.full((n_rays,), -1, dtype=jnp.int32)
-    best_inst = jnp.full((n_rays,), -1, dtype=jnp.int32)
-
-    for i, meta in enumerate(arrays.instance_meta):
-        if meta.num_triangles == 0:
-            continue
-        inv_t = arrays.inv_transforms[i]
-        o_l = origin @ inv_t[:3, :3].T + inv_t[:3, 3]
-        d_l = normalize(direction @ inv_t[:3, :3].T, eps=1e-20)
-        sl = slice(meta.tri_offset, meta.tri_offset + meta.num_triangles)
-        # (R, T_i) pairwise Möller–Trumbore
-        t, h = moller_trumbore(
-            o_l[:, None, :],
-            d_l[:, None, :],
-            arrays.tri_v0[sl][None, :, :],
-            arrays.tri_e1[sl][None, :, :],
-            arrays.tri_e2[sl][None, :, :],
-        )
-        t = jnp.where(h, t, T_FAR)
-        k = jnp.argmin(t, axis=1)
-        t_l = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
-        got = active & (t_l < T_FAR)
-        hit_l = o_l + d_l * t_l[:, None]
-        fwd = arrays.transforms[i]
-        hit_w_pt = hit_l @ fwd[:3, :3].T + fwd[:3, 3]
-        delta = hit_w_pt - origin
-        t_w = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
-        better = got & (t_w < best_t)
-        best_t = jnp.where(better, t_w, best_t)
-        best_point = jnp.where(better[:, None], hit_w_pt, best_point)
-        best_tri = jnp.where(better, (meta.tri_offset + k).astype(jnp.int32), best_tri)
-        best_inst = jnp.where(better, jnp.int32(i), best_inst)
-
-    return Hit(
-        t=best_t,
-        point=best_point,
-        tri=best_tri,
-        inst=best_inst,
-        found=best_tri >= 0,
+    This is the ground truth the reference never had (SURVEY.md §4) — used by
+    the golden-image tests to validate the BVH path."""
+    t, h = moller_trumbore(
+        origin[:, None, :],
+        direction[:, None, :],
+        ws.tri_v0[None, :, :],
+        ws.tri_e1[None, :, :],
+        ws.tri_e2[None, :, :],
     )
+    t = jnp.where(h, t, T_FAR)
+    k = jnp.argmin(t, axis=1).astype(jnp.int32)
+    t_best = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
+    found = active & (t_best < T_FAR)
+    t_best = jnp.where(found, t_best, T_FAR)
+    tri = jnp.where(found, k, -1)
+    point = origin + direction * t_best[:, None]
+    inst = jnp.where(found, ws.tri_inst[jnp.maximum(tri, 0)], -1)
+    return Hit(t=t_best, point=point, tri=tri, inst=inst, found=found)
+
+
+# -- SceneArrays-level conveniences (tests, interactive use) -----------------
+
+
+def traverse_scene(arrays: SceneArrays, origin, direction, active) -> Hit:
+    """Refit to world space, then traverse. Hot paths should call
+    world_geometry once per frame and use traverse_world directly."""
+    return traverse_world(world_geometry(arrays), origin, direction, active)
+
+
+def brute_force_scene(arrays: SceneArrays, origin, direction, active) -> Hit:
+    return brute_force_world(world_geometry(arrays), origin, direction, active)

@@ -69,6 +69,26 @@ class SceneArrays:
     inv_transforms: jax.Array  # (I, 4, 4) f32
     root_bmin: jax.Array  # (I, 3) f32 object-space BLAS root bounds
     root_bmax: jax.Array  # (I, 3) f32
+    # Stacked instance layout for lax.scan traversal (same data as
+    # instance_meta, but as device arrays so one compiled loop sweeps all
+    # instances instead of an unrolled copy per instance).
+    inst_node_offset: jax.Array  # (I,) i32
+    inst_tri_offset: jax.Array  # (I,) i32
+    inst_mask: jax.Array  # (I,) bool — False for empty meshes
+    # ---- unified world-space BVH (static topology, device-refit bounds) ----
+    # The TLAS and every instance's BLAS are stitched into ONE threaded tree:
+    # TLAS leaves point at their instance's BLAS root, and BLAS escape links
+    # (-1) are remapped to the owning TLAS leaf's miss link. Traversal is then
+    # a single world-space walk — no per-instance ray transforms, no scan over
+    # instances. Topology is static; bounds/triangles are recomputed on device
+    # from the current transforms each frame (world_geometry below).
+    uni_meta: jax.Array  # (Nu, 3) i32 [left_or_first, count, miss], stitched
+    blas_src: jax.Array  # (Nb,) i32 — source row in node_bounds per BLAS node
+    blas_inst: jax.Array  # (Nb,) i32 — owning instance per BLAS node
+    tlas_mask: jax.Array  # (Nt, I) bool — instances under each TLAS node
+    wtri_src: jax.Array  # (Tw,) i32 — source row in tri_* per world triangle
+    wtri_inst: jax.Array  # (Tw,) i32 — owning instance per world triangle
+    node_leaf_tri: jax.Array  # (Nu, K) i32 — world-tri ids inlined per leaf
     # Shading tables.
     materials: jax.Array  # (M, 8) f32
     lights: jax.Array  # (L, 8) f32
@@ -170,20 +190,41 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         inv_transforms = np.linalg.inv(transforms.astype(np.float64)).astype(np.float32)
         root_bmin = np.stack(root_bmin).astype(np.float32)
         root_bmax = np.stack(root_bmax).astype(np.float32)
+        inst_node_offset = np.asarray(
+            [m.node_offset for m in instance_meta], dtype=np.int32
+        )
+        inst_tri_offset = np.asarray(
+            [m.tri_offset for m in instance_meta], dtype=np.int32
+        )
+        inst_mask = np.asarray(
+            [m.num_triangles > 0 for m in instance_meta], dtype=bool
+        )
     else:
         transforms = np.eye(4, dtype=np.float32)[None]
         inv_transforms = transforms.copy()
         root_bmin = np.full((1, 3), np.finfo(np.float32).max, dtype=np.float32)
         root_bmax = -root_bmin
+        inst_node_offset = np.zeros(1, dtype=np.int32)
+        inst_tri_offset = np.zeros(1, dtype=np.int32)
+        inst_mask = np.zeros(1, dtype=bool)
+
+    uni = _build_unified(instance_meta, node_meta, transforms, root_bmin, root_bmax)
 
     total_tris = sum(m.num_triangles for m in instance_meta)
     log.info(
         f"Packed scene: {len(unique_meshes)} unique meshes, "
         f"{len(instance_meta)} instances, {total_tris} instanced triangles, "
-        f"{node_meta.shape[0]} BVH nodes"
+        f"{node_meta.shape[0]} BVH nodes, {uni['uni_meta'].shape[0]} unified nodes"
     )
 
     return SceneArrays(
+        uni_meta=jnp.asarray(uni["uni_meta"]),
+        blas_src=jnp.asarray(uni["blas_src"]),
+        blas_inst=jnp.asarray(uni["blas_inst"]),
+        tlas_mask=jnp.asarray(uni["tlas_mask"]),
+        wtri_src=jnp.asarray(uni["wtri_src"]),
+        wtri_inst=jnp.asarray(uni["wtri_inst"]),
+        node_leaf_tri=jnp.asarray(uni["node_leaf_tri"]),
         tri_v0=jnp.asarray(tri_v0),
         tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2),
@@ -194,9 +235,230 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         inv_transforms=jnp.asarray(inv_transforms),
         root_bmin=jnp.asarray(root_bmin),
         root_bmax=jnp.asarray(root_bmax),
+        inst_node_offset=jnp.asarray(inst_node_offset),
+        inst_tri_offset=jnp.asarray(inst_tri_offset),
+        inst_mask=jnp.asarray(inst_mask),
         materials=jnp.asarray(pack_materials(scene.materials)),
         lights=jnp.asarray(pack_lights(scene.lights)),
         instance_meta=tuple(instance_meta),
+    )
+
+
+def _build_unified(instance_meta, node_meta, transforms, root_bmin, root_bmax):
+    """Stitch TLAS + per-instance BLAS copies into one threaded tree (host,
+    build-time; numpy). See SceneArrays field docs for the layout.
+
+    TLAS *topology* is built once from the initial instance AABBs and kept
+    static; per-frame motion only refits node bounds on device. (The reference
+    instead rebuilds the TLAS from scratch every frame on the host and re-
+    uploads it, main.cpp:1192-1207 — the fixed-topology refit is the TPU-native
+    fix from SURVEY.md §7. Repack if instances drift far enough to degrade the
+    topology's quality.)"""
+    n_inst = len(instance_meta)
+    nonempty = [i for i, m in enumerate(instance_meta) if m.num_triangles > 0]
+
+    leaf_k = 4  # leaf size cap inlined into node records (BVH.cpp:115)
+
+    if not nonempty:
+        return dict(
+            uni_meta=np.asarray([[0, 0, -1]], dtype=np.int32),
+            blas_src=np.zeros((0,), dtype=np.int32),
+            blas_inst=np.zeros((0,), dtype=np.int32),
+            tlas_mask=np.zeros((1, max(n_inst, 1)), dtype=bool),
+            wtri_src=np.zeros((1,), dtype=np.int32),
+            wtri_inst=np.zeros((1,), dtype=np.int32),
+            node_leaf_tri=np.zeros((1, leaf_k), dtype=np.int32),
+        )
+
+    # initial world AABBs (8 transformed corners of each BLAS root)
+    init_wmin, init_wmax = [], []
+    for i in nonempty:
+        corners = np.stack(
+            [
+                [root_bmin[i][0] if x == 0 else root_bmax[i][0],
+                 root_bmin[i][1] if y == 0 else root_bmax[i][1],
+                 root_bmin[i][2] if z == 0 else root_bmax[i][2]]
+                for x in (0, 1) for y in (0, 1) for z in (0, 1)
+            ]
+        ).astype(np.float32)
+        w = corners @ transforms[i][:3, :3].T + transforms[i][:3, 3]
+        init_wmin.append(w.min(axis=0))
+        init_wmax.append(w.max(axis=0))
+    tlas = build_tlas(np.stack(init_wmin), np.stack(init_wmax))
+    n_tlas = tlas.num_nodes
+
+    # layout: world-triangle and unified-BLAS-node offsets per nonempty instance
+    wtri_off, blas_off = {}, {}
+    cum_t, cum_n = 0, n_tlas
+    for i in nonempty:
+        wtri_off[i] = cum_t
+        blas_off[i] = cum_n
+        cum_t += instance_meta[i].num_triangles
+        cum_n += instance_meta[i].num_nodes
+
+    uni_meta = np.zeros((cum_n, 3), dtype=np.int32)
+    blas_src = np.zeros((cum_n - n_tlas,), dtype=np.int32)
+    blas_inst = np.zeros((cum_n - n_tlas,), dtype=np.int32)
+    tlas_mask = np.zeros((n_tlas, n_inst), dtype=bool)
+    leaf_miss = {}  # instance id -> miss link of its TLAS leaf
+
+    # TLAS section: internal nodes pass through; leaves descend into BLAS roots
+    for j in range(n_tlas):
+        count = int(tlas.count[j])
+        miss = int(tlas.miss[j])
+        if count < 0:  # internal
+            uni_meta[j] = (int(tlas.left_first[j]), -1, miss)
+        else:  # leaf, exactly one instance (BVH.cpp:204)
+            inst = nonempty[int(tlas.order[int(tlas.left_first[j])])]
+            uni_meta[j] = (blas_off[inst], -1, miss)
+            leaf_miss[inst] = miss
+
+    # descendant-instance masks for device-side TLAS bound refit
+    # (iterative post-order: children before parents, then union upward)
+    desc = [None] * n_tlas
+    stack = [(0, False)]
+    while stack:
+        node, expanded = stack.pop()
+        if int(tlas.count[node]) >= 0:
+            inst = nonempty[int(tlas.order[int(tlas.left_first[node])])]
+            desc[node] = [inst]
+        elif not expanded:
+            left = int(tlas.left_first[node])
+            stack.append((node, True))
+            stack.append((left, False))
+            stack.append((left + 1, False))
+        else:
+            left = int(tlas.left_first[node])
+            desc[node] = desc[left] + desc[left + 1]
+        if desc[node] is not None:
+            for i in desc[node]:
+                tlas_mask[node, i] = True
+
+    # BLAS sections: remap child/first/miss links into unified space
+    wtri_src, wtri_inst = [], []
+    node_leaf_tri = np.zeros((cum_n, leaf_k), dtype=np.int32)
+    for i in nonempty:
+        m = instance_meta[i]
+        off = blas_off[i]
+        rows = node_meta[m.node_offset : m.node_offset + m.num_nodes]
+        for k, (left_first, count, miss) in enumerate(rows):
+            new_miss = leaf_miss[i] if miss == -1 else off + int(miss)
+            if count < 0:  # internal
+                uni_meta[off + k] = (off + int(left_first), -1, new_miss)
+            else:  # leaf: first indexes the world-triangle array
+                first = wtri_off[i] + int(left_first)
+                uni_meta[off + k] = (first, int(count), new_miss)
+                for c in range(min(int(count), leaf_k)):
+                    node_leaf_tri[off + k, c] = first + c
+            blas_src[off + k - n_tlas] = m.node_offset + k
+            blas_inst[off + k - n_tlas] = i
+        wtri_src.extend(range(m.tri_offset, m.tri_offset + m.num_triangles))
+        wtri_inst.extend([i] * m.num_triangles)
+
+    return dict(
+        uni_meta=uni_meta,
+        blas_src=blas_src,
+        blas_inst=blas_inst,
+        tlas_mask=tlas_mask,
+        wtri_src=np.asarray(wtri_src, dtype=np.int32),
+        wtri_inst=np.asarray(wtri_inst, dtype=np.int32),
+        node_leaf_tri=node_leaf_tri,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class WorldArrays:
+    """Per-frame world-space scene: what traversal/shading actually consume.
+
+    Produced on device by ``world_geometry`` from SceneArrays + current
+    transforms. Triangles are pre-transformed to world space and node bounds
+    refit, so the hot loops do no matrix math and no per-instance logic; world-
+    space t falls out of Möller–Trumbore directly (the reference recovers it as
+    |worldHit - origin|, glsl:485 — geometrically identical)."""
+
+    tri_v0: jax.Array  # (Tw, 3) f32 world space
+    tri_e1: jax.Array  # (Tw, 3) f32
+    tri_e2: jax.Array  # (Tw, 3) f32
+    tri_mat: jax.Array  # (Tw,) i32
+    tri_inst: jax.Array  # (Tw,) i32
+    # Packed per-node records: ONE row gather serves a whole traversal step.
+    # Layout (f32): [0:3] bmin | [3:6] bmax | [6:9] bitcast(left_first, count,
+    # miss) | [9:9+9K] K leaf triangles as (v0, e1, e2) | pad. Internal nodes
+    # carry zero triangles; the count field masks the unused lanes.
+    records: jax.Array  # (Nu, W) f32
+    materials: jax.Array  # (M, 8) f32
+    lights: jax.Array  # (L, 8) f32
+    leaf_k: int = dataclasses.field(metadata=dict(static=True), default=4)
+
+    @property
+    def num_lights(self) -> int:
+        return int(self.lights.shape[0])
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.tri_v0.shape[0])
+
+
+def world_geometry(arrays: SceneArrays) -> WorldArrays:
+    """Refit the unified BVH and transform triangles to world space (device,
+    inside jit, once per frame). Dense vectorized ops, cost ~O(T + N) — replaces
+    the reference's per-frame host rebuild + full re-upload
+    (updateDynamicBVHAndSSBOs, main.cpp:1123-1208)."""
+    # triangles -> world space (edges use the rotation part only)
+    src = arrays.wtri_src
+    rot = arrays.transforms[arrays.wtri_inst][:, :3, :3]  # (Tw, 3, 3)
+    trans = arrays.transforms[arrays.wtri_inst][:, :3, 3]
+    v0 = jnp.einsum("tij,tj->ti", rot, arrays.tri_v0[src]) + trans
+    e1 = jnp.einsum("tij,tj->ti", rot, arrays.tri_e1[src])
+    e2 = jnp.einsum("tij,tj->ti", rot, arrays.tri_e2[src])
+
+    # BLAS node bounds -> conservative world AABBs (8 transformed corners)
+    b = arrays.node_bounds[arrays.blas_src]  # (Nb, 6) object space
+    sel = jnp.asarray(
+        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+        dtype=jnp.float32,
+    )
+    corners = b[:, None, :3] * (1.0 - sel)[None] + b[:, None, 3:] * sel[None]
+    m_rot = arrays.transforms[arrays.blas_inst][:, :3, :3]
+    m_trans = arrays.transforms[arrays.blas_inst][:, :3, 3]
+    wc = jnp.einsum("nij,nkj->nki", m_rot, corners) + m_trans[:, None, :]
+    blas_bounds = jnp.concatenate([wc.min(axis=1), wc.max(axis=1)], axis=-1)
+
+    # TLAS node bounds from descendant instance AABBs (static masks)
+    wmin, wmax = instance_world_aabbs(arrays)  # (I, 3)
+    mask = arrays.tlas_mask[..., None]  # (Nt, I, 1)
+    inf = jnp.float32(3.4e38)
+    tmin = jnp.min(jnp.where(mask, wmin[None], inf), axis=1)
+    tmax = jnp.max(jnp.where(mask, wmax[None], -inf), axis=1)
+    tlas_bounds = jnp.concatenate([tmin, tmax], axis=-1)
+
+    node_bounds = jnp.concatenate([tlas_bounds, blas_bounds], axis=0)  # (Nu, 6)
+
+    # pack node records: bounds | meta | inlined leaf triangles | pad.
+    # Meta ints are stored as float *values* (exact below 2^24), NOT bitcast:
+    # -1 bitcast to f32 is a NaN payload, and NaN canonicalization anywhere on
+    # the load path would corrupt the links (observed as a TPU kernel fault).
+    meta_f = arrays.uni_meta.astype(jnp.float32)  # (Nu, 3)
+    tris9 = jnp.concatenate([v0, e1, e2], axis=1)  # (Tw, 9)
+    leaf_block = tris9[arrays.node_leaf_tri]  # (Nu, K, 9)
+    n_nodes, leaf_k = arrays.node_leaf_tri.shape
+    leaf_block = leaf_block.reshape(n_nodes, leaf_k * 9)
+    records = jnp.concatenate([node_bounds, meta_f, leaf_block], axis=1)
+    pad = (-records.shape[1]) % 8
+    if pad:
+        records = jnp.pad(records, ((0, 0), (0, pad)))
+
+    return WorldArrays(
+        tri_v0=v0,
+        tri_e1=e1,
+        tri_e2=e2,
+        tri_mat=arrays.tri_mat[src],
+        tri_inst=arrays.wtri_inst,
+        records=records,
+        materials=arrays.materials,
+        lights=arrays.lights,
+        leaf_k=int(leaf_k),
     )
 
 

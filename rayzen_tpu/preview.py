@@ -22,11 +22,11 @@ from .config import RenderConfig
 from .ops import camera_rays
 from .ops.intersect import dot3, normalize
 from .ops.shade import PI_REF, fresnel_schlick, sky_color
-from .ops.traverse import hit_shading_data, traverse_scene
-from .packing import SceneArrays
+from .ops.traverse import hit_shading_data, traverse_world
+from .packing import SceneArrays, world_geometry
 
 
-def shade_preview(arrays: SceneArrays, point, normal, material, view_dir, cfg):
+def shade_preview(ws, point, normal, material, view_dir, cfg):
     """editor_fragment.glsl main(): PBR without shadows."""
     albedo = material[:, mat_mod.ALBEDO]
     metallic = material[:, mat_mod.METALLIC]
@@ -39,8 +39,8 @@ def shade_preview(arrays: SceneArrays, point, normal, material, view_dir, cfg):
     f0 = 0.04 * (1.0 - metallic[:, None]) + albedo * metallic[:, None]
     color = jnp.asarray(cfg.ambient, dtype=jnp.float32) * albedo
 
-    for li in range(arrays.num_lights):
-        lrow = arrays.lights[li]
+    for li in range(ws.num_lights):
+        lrow = ws.lights[li]
         posdir = lrow[light_mod.POSDIR]
         lcolor = lrow[light_mod.COLOR]
         power = lrow[light_mod.POWER]
@@ -91,10 +91,11 @@ def render_preview(arrays: SceneArrays, camera_params: dict, cfg: RenderConfig):
         camera_params["position"],
     )
     active = direction[:, 0] * 0.0 < 1.0  # all True, varying-derived
-    hit = traverse_scene(arrays, origin, direction, active)
-    normal, material, _ = hit_shading_data(arrays, hit)
+    ws = world_geometry(arrays)
+    hit = traverse_world(ws, origin, direction, active)
+    normal, material, _ = hit_shading_data(ws, hit)
     view_dir = normalize(camera_params["position"] - hit.point, eps=1e-20)
-    shaded = shade_preview(arrays, hit.point, normal, material, view_dir, cfg)
+    shaded = shade_preview(ws, hit.point, normal, material, view_dir, cfg)
     color = jnp.where(hit.found[:, None], shaded, sky_color(direction, cfg))
     color = jnp.clip(color, 0.0, 1.0)
     return color.reshape(cfg.height, cfg.width, 3)

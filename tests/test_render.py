@@ -12,6 +12,7 @@ from rayzen_tpu.demo import build_small_scene, demo_camera
 from rayzen_tpu.integrator import render_radiance
 from rayzen_tpu.light import Light
 from rayzen_tpu.ops.shade import shadow_visibility, sky_color
+from rayzen_tpu.packing import world_geometry
 from rayzen_tpu.packing import pack_scene
 
 
@@ -164,11 +165,11 @@ class TestShadowQuery:
                 )
             )
         cfg = RenderConfig()
-        arrays = pack_scene(s, cfg)
+        ws = world_geometry(pack_scene(s, cfg))
         origin = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
         direction = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
         res = shadow_visibility(
-            arrays, origin, direction, jnp.asarray([10.0]), jnp.ones(1, bool), cfg
+            ws, origin, direction, jnp.asarray([10.0]), jnp.ones(1, bool), cfg
         )
         assert bool(res.visible[0])
         # passes through 2 slabs x 2 faces each = 0.94^4
@@ -186,9 +187,9 @@ class TestShadowQuery:
             )
         )
         cfg = RenderConfig()
-        arrays = pack_scene(s, cfg)
+        ws = world_geometry(pack_scene(s, cfg))
         res = shadow_visibility(
-            arrays,
+            ws,
             jnp.asarray([[0.0, 0.0, 0.0]]),
             jnp.asarray([[0.0, 1.0, 0.0]]),
             jnp.asarray([10.0]),
@@ -210,9 +211,9 @@ class TestShadowQuery:
             )
         )
         cfg = RenderConfig()
-        arrays = pack_scene(s, cfg)
+        ws = world_geometry(pack_scene(s, cfg))
         res = shadow_visibility(
-            arrays,
+            ws,
             jnp.asarray([[0.0, 0.0, 0.0]]),
             jnp.asarray([[0.0, 1.0, 0.0]]),
             jnp.asarray([1.0]),  # light is below the slab at y=5
