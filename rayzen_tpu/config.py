@@ -57,6 +57,11 @@ class RenderConfig:
     # Ray-wave tiling: rays per traversal wave. 0 = whole frame in one wave.
     wave_size: int = 0
 
+    # Traversal backend: "auto" picks the Pallas packet kernels on TPU and the
+    # portable XLA while_loop path on CPU; force with "pallas" / "xla".
+    # ("pallas" on CPU runs the kernels in interpreter mode — tests only.)
+    kernels: str = "auto"
+
     # Debug overlays (fragment_shader.glsl uniforms :99-105).
     debug_show_lights: bool = False
     debug_show_bvh: bool = False

@@ -43,6 +43,25 @@ from .ops.traverse import brute_force_world, hit_shading_data, shadow_brute, tra
 from .packing import SceneArrays, WorldArrays, world_geometry
 
 
+def select_kernels(cfg: RenderConfig, tracer: str = "bvh"):
+    """Pick (closest_hit, shadow) implementations: the Pallas packet kernels
+    on TPU ("auto"/"pallas"), the portable XLA while_loop path on CPU or when
+    forced ("xla"), or the brute-force oracles (tracer="brute"). On CPU,
+    "pallas" runs the kernels in interpreter mode (tests only)."""
+    if tracer == "brute":
+        return brute_force_world, shadow_brute
+    on_cpu = jax.default_backend() == "cpu"
+    use_pallas = cfg.kernels == "pallas" or (cfg.kernels == "auto" and not on_cpu)
+    if use_pallas:
+        from .ops import pallas_traverse as ptv
+
+        return (
+            partial(ptv.pallas_closest_hit, interpret=on_cpu),
+            partial(ptv.pallas_shadow_walk, interpret=on_cpu),
+        )
+    return None, None
+
+
 def _make_sampler(cfg: RenderConfig, frag, uv, width, height, key: int):
     if cfg.rng == "reference":
         return rng_mod.ReferenceSampler(uv, frag)
@@ -126,6 +145,7 @@ def trace_wave(
     samp: int,
     max_bounces: int,
     trace_fn=None,
+    shadow_fn=None,
     active=None,
 ):
     """Trace one sample's wave to completion.
@@ -140,7 +160,8 @@ def trace_wave(
     instances of the traversal scan plus one shadow loop, keeping XLA compile
     time flat in the bounce budget."""
     trace = trace_fn or traverse_world
-    shadow_fn = shadow_brute if trace is brute_force_world else None
+    if shadow_fn is None and trace is brute_force_world:
+        shadow_fn = shadow_brute
     # all carries derive from `direction` so they are shard_map-varying
     color = direction * 0.0
     throughput = direction * 0.0 + 1.0
@@ -233,7 +254,7 @@ def render_rays(
     This is the shard-level entry: multi-chip rendering runs exactly this
     function on each device's tile of rays (parallel.py)."""
     max_bounces = max_bounces or cfg.max_bounces
-    trace_fn = brute_force_world if tracer == "brute" else None
+    trace_fn, shadow_fn = select_kernels(cfg, tracer)
     sampler = _make_sampler(cfg, frag, uv, cfg.width, cfg.height, rng_key)
     ws = world_geometry(arrays)  # one refit per frame, shared by all waves
 
@@ -259,6 +280,7 @@ def render_rays(
             samp,
             max_bounces,
             trace_fn=trace_fn,
+            shadow_fn=shadow_fn,
             active=active,
         )
         total = total + radiance

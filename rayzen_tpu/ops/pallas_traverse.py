@@ -228,7 +228,9 @@ def _grid_specs(n_ray_inputs):
     return in_specs, ray_spec
 
 
-def pallas_closest_hit(ws: WorldArrays, origin, direction, active) -> Hit:
+def pallas_closest_hit(
+    ws: WorldArrays, origin, direction, active, interpret: bool = False
+) -> Hit:
     """Drop-in replacement for traverse.traverse_world on TPU."""
     n_rays = origin.shape[0]
     ox, oy, oz, dx, dy, dz, act = _ray_operands(origin, direction, active)
@@ -245,6 +247,7 @@ def pallas_closest_hit(ws: WorldArrays, origin, direction, active) -> Hit:
         ),
         in_specs=in_specs,
         out_specs=(ray_spec, ray_spec),
+        interpret=interpret,
     )(ws.records, ox, oy, oz, dx, dy, dz, act)
     t = t.reshape(-1)[:n_rays]
     tri = tri.reshape(-1)[:n_rays]
@@ -262,6 +265,7 @@ def pallas_shadow_walk(
     active,
     min_visibility: float = 0.05,
     t_eps: float = 1e-3,
+    interpret: bool = False,
 ):
     """Drop-in replacement for traverse.shadow_walk on TPU."""
     n_rays = origin.shape[0]
@@ -279,6 +283,7 @@ def pallas_shadow_walk(
         out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
         in_specs=in_specs,
         out_specs=ray_spec,
+        interpret=interpret,
     )(ws.records, ox, oy, oz, dx, dy, dz, md, act)
     vis = vis.reshape(-1)[:n_rays]
     vis = jnp.where(active, vis, 1.0)

@@ -192,6 +192,10 @@ def shadow_walk(
 
     Returns (visibility (R,), rays ()): rays counts occlusion queries issued
     (one per active ray), the honest unit for Mrays/s.
+
+    Known measure-zero deviation from the reference: a ray passing exactly
+    through the shared edge of two coplanar transparent triangles multiplies
+    both (the reference's closest-hit restart counts the surface once).
     """
     inv_dir = 1.0 / direction
     cur0 = jnp.where(active, 0, -1).astype(jnp.int32)

@@ -444,7 +444,15 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
     leaf_block = tris9[arrays.node_leaf_tri]  # (Nu, K, 9)
     n_nodes, leaf_k = arrays.node_leaf_tri.shape
     leaf_block = leaf_block.reshape(n_nodes, leaf_k * 9)
-    records = jnp.concatenate([node_bounds, meta_f, leaf_block], axis=1)
+    # per-leaf-triangle transparency (0 for opaque): lets the shadow kernels
+    # accumulate transmission without a material lookup (shadowVisibility
+    # semantics, glsl:517-523)
+    tri_mat = arrays.tri_mat[src]
+    wtri_transp = arrays.materials[tri_mat, 6]  # TRANSPARENCY column
+    transp_block = wtri_transp[arrays.node_leaf_tri]  # (Nu, K)
+    records = jnp.concatenate(
+        [node_bounds, meta_f, leaf_block, transp_block], axis=1
+    )
     pad = (-records.shape[1]) % 8
     if pad:
         records = jnp.pad(records, ((0, 0), (0, pad)))

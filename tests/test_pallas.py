@@ -1,0 +1,85 @@
+"""Pallas packet-kernel parity vs the XLA reference path (interpreter mode on
+the CPU backend; the same kernels compile natively on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rayzen_tpu.config import RenderConfig
+from rayzen_tpu.demo import build_small_scene
+from rayzen_tpu.integrator import render_radiance
+from rayzen_tpu.ops.camera_rays import generate_rays, pixel_grid
+from rayzen_tpu.ops.pallas_traverse import pallas_closest_hit, pallas_shadow_walk
+from rayzen_tpu.ops.traverse import shadow_walk, traverse_world
+from rayzen_tpu.packing import pack_scene, world_geometry
+
+
+@pytest.fixture(scope="module")
+def setup(small_scene, small_arrays, small_camera):
+    frag, uv = pixel_grid(48, 32)
+    o, d = generate_rays(
+        uv,
+        jnp.zeros_like(uv),
+        small_camera["inv_proj"],
+        small_camera["inv_view"],
+        small_camera["position"],
+    )
+    ws = world_geometry(small_arrays)
+    return ws, o, d
+
+
+class TestClosestHit:
+    def test_matches_xla(self, setup):
+        ws, o, d = setup
+        act = jnp.ones(o.shape[0], bool)
+        ref = traverse_world(ws, o, d, act)
+        pal = pallas_closest_hit(ws, o, d, act, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.found), np.asarray(pal.found))
+        np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(pal.tri))
+        m = np.asarray(ref.found)
+        assert np.allclose(np.asarray(ref.t)[m], np.asarray(pal.t)[m], rtol=1e-5)
+
+    def test_inactive_rays(self, setup):
+        ws, o, d = setup
+        act = jnp.zeros(o.shape[0], bool)
+        pal = pallas_closest_hit(ws, o, d, act, interpret=True)
+        assert not np.asarray(pal.found).any()
+
+    def test_non_packet_multiple_ray_count(self, setup):
+        # 100 rays: exercises padding to packet size
+        ws, o, d = setup
+        o, d = o[:100], d[:100]
+        act = jnp.ones(100, bool)
+        ref = traverse_world(ws, o, d, act)
+        pal = pallas_closest_hit(ws, o, d, act, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(pal.tri))
+
+
+class TestShadow:
+    def test_matches_xla(self, setup):
+        ws, o, d = setup
+        act = jnp.ones(o.shape[0], bool)
+        hit = traverse_world(ws, o, d, act)
+        ldir = jnp.asarray([0.3, 0.9, 0.1])
+        ldir = jnp.broadcast_to(ldir / jnp.linalg.norm(ldir), o.shape).astype(
+            jnp.float32
+        )
+        origin = hit.point + ldir * 0.001
+        md = jnp.full((o.shape[0],), 50.0)
+        v_ref, _ = shadow_walk(ws, origin, ldir, md, hit.found)
+        v_pal, _ = pallas_shadow_walk(ws, origin, ldir, md, hit.found, interpret=True)
+        f = np.asarray(hit.found)
+        assert np.allclose(np.asarray(v_ref)[f], np.asarray(v_pal)[f], atol=1e-6)
+
+
+class TestFullRender:
+    def test_render_parity(self, small_arrays, small_camera):
+        cfg = RenderConfig(width=48, height=32, spp=1, max_bounces=3)
+        xla = np.asarray(
+            render_radiance(small_arrays, small_camera, cfg.replace(kernels="xla"))
+        )
+        pal = np.asarray(
+            render_radiance(small_arrays, small_camera, cfg.replace(kernels="pallas"))
+        )
+        assert np.abs(xla - pal).max() < 1e-5

@@ -166,7 +166,10 @@ class TestShadowQuery:
             )
         cfg = RenderConfig()
         ws = world_geometry(pack_scene(s, cfg))
-        origin = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+        # offset from the cube-face diagonal: a ray exactly on the shared edge
+        # of two coplanar triangles would count the face twice (see
+        # traverse.shadow_walk notes)
+        origin = jnp.asarray([[0.3, 0.0, 0.2]], jnp.float32)
         direction = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
         res = shadow_visibility(
             ws, origin, direction, jnp.asarray([10.0]), jnp.ones(1, bool), cfg
