@@ -62,6 +62,11 @@ class RenderConfig:
     # ("pallas" on CPU runs the kernels in interpreter mode — tests only.)
     kernels: str = "auto"
 
+    # Pixel-tile swizzle edge for packet coherence (0 = scanline order). Rays
+    # are traced in tile x tile blocks so each traversal packet covers a
+    # compact screen region; 64x64 = 4096 pixels = one Pallas packet.
+    packet_tile: int = 64
+
     # Debug overlays (fragment_shader.glsl uniforms :99-105).
     debug_show_lights: bool = False
     debug_show_bvh: bool = False

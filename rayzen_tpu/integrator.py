@@ -292,21 +292,35 @@ def render_rays(
     return color
 
 
+def _swizzled_grid(cfg: RenderConfig):
+    """Pixel grid in packet-coherent tile order; returns (frag, uv, inv_perm).
+    inv_perm is None in scanline mode."""
+    frag, uv = camera_rays.pixel_grid(cfg.width, cfg.height)
+    if cfg.packet_tile <= 1:
+        return frag, uv, None
+    perm, inv = camera_rays.tile_permutation(
+        cfg.width, cfg.height, cfg.packet_tile
+    )
+    return frag[perm], uv[perm], inv
+
+
 def render_radiance(
     arrays: SceneArrays,
     camera_params: dict,
     cfg: RenderConfig,
     max_bounces: Optional[int] = None,
     tracer: str = "bvh",
-    rng_key: int = 0,
+    rng_key=0,
 ):
     """Render a full frame of radiance, (H, W, 3) float32 in [0, 1], bottom-up
     row order (GL convention). Single-chip hot path."""
     width, height = cfg.width, cfg.height
-    frag, uv = camera_rays.pixel_grid(width, height)
+    frag, uv, inv = _swizzled_grid(cfg)
     color = render_rays(
         arrays, frag, uv, camera_params, cfg, max_bounces, tracer, rng_key
     )
+    if inv is not None:
+        color = color[inv]
     return color.reshape(height, width, 3)
 
 
@@ -316,12 +330,14 @@ def render_radiance_with_stats(
     cfg: RenderConfig,
     max_bounces: Optional[int] = None,
     tracer: str = "bvh",
-    rng_key: int = 0,
+    rng_key=0,
 ):
     """Like render_radiance but also returns the traced-ray count (Mrays/s)."""
-    frag, uv = camera_rays.pixel_grid(cfg.width, cfg.height)
+    frag, uv, inv = _swizzled_grid(cfg)
     color, rays = render_rays(
         arrays, frag, uv, camera_params, cfg, max_bounces, tracer, rng_key,
         with_stats=True,
     )
+    if inv is not None:
+        color = color[inv]
     return color.reshape(cfg.height, cfg.width, 3), rays

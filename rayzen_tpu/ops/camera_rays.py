@@ -6,7 +6,10 @@ matrices, batched over all pixels. uv jitter comes from the active sampler.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 from .intersect import normalize
 
@@ -20,6 +23,25 @@ def pixel_grid(width: int, height: int):
     frag = jnp.stack([fx.ravel(), fy.ravel()], axis=-1)
     uv = frag / jnp.asarray([width, height], dtype=jnp.float32)
     return frag, uv
+
+
+@functools.lru_cache(maxsize=32)
+def tile_permutation(width: int, height: int, tile: int):
+    """(perm, inv_perm) reordering the flat pixel axis into tile x tile blocks.
+
+    Packet traversal (ops/pallas_traverse.py) walks the tree by consensus over
+    contiguous ray groups; in scanline order a 1024-ray packet is a 1024x1-pixel
+    strip with poor spatial coherence, while a 32x32 block shares most of its
+    tree path. numpy, cached — this is static per resolution."""
+    idx = np.arange(width * height, dtype=np.int64).reshape(height, width)
+    blocks = []
+    for ty in range(0, height, tile):
+        for tx in range(0, width, tile):
+            blocks.append(idx[ty : ty + tile, tx : tx + tile].ravel())
+    perm = np.concatenate(blocks)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int64)
+    return perm, inv
 
 
 def generate_rays(uv, jitter, inv_proj, inv_view, cam_position):

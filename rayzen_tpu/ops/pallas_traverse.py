@@ -38,8 +38,8 @@ from ..packing import WorldArrays
 from .intersect import DET_EPS, T_EPS, T_FAR
 from .traverse import Hit
 
-PACKET_ROWS = 8  # sublanes per packet; packet = PACKET_ROWS * 128 rays
-PACKET = PACKET_ROWS * 128
+PACKET_ROWS = 32  # sublane rows per packet; packet = PACKET_ROWS * 128 rays
+PACKET = PACKET_ROWS * 128  # 4096 rays = one 64x64 screen tile (packet_tile=64)
 
 
 def _safe_inv(d):

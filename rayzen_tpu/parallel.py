@@ -59,6 +59,10 @@ def render_radiance_sharded(
     width, height = cfg.width, cfg.height
     n_dev = mesh.devices.size
     frag, uv = camera_rays.pixel_grid(width, height)
+    inv = None
+    if cfg.packet_tile > 1:
+        perm, inv = camera_rays.tile_permutation(width, height, cfg.packet_tile)
+        frag, uv = frag[perm], uv[perm]
     n_rays = frag.shape[0]
     frag_p = _pad_to_multiple(frag, n_dev)
     uv_p = _pad_to_multiple(uv, n_dev)
@@ -84,7 +88,10 @@ def render_radiance_sharded(
         out_specs=P(AXIS),
     )(arrays, camera_params, frag_p, uv_p, active)
 
-    return color[:n_rays].reshape(height, width, 3)
+    color = color[:n_rays]
+    if inv is not None:
+        color = color[inv]
+    return color.reshape(height, width, 3)
 
 
 def jit_sharded_renderer(arrays, cfg: RenderConfig, mesh: Mesh, **kw):

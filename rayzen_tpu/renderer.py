@@ -70,25 +70,33 @@ class Renderer:
         # jitted programs ------------------------------------------------
         first_bounces = max(1, cfg.first_frame_bounces)
 
+        if cfg.accumulate and cfg.rng == "reference":
+            # the reference sin-hash sampler is a pure function of the pixel, so
+            # re-rendering adds no new samples; progressive accumulation needs
+            # the keyed counter-hash sampler
+            log.info("accumulate=True: switching rng to 'threefry' for fresh samples per frame")
+            cfg = cfg.replace(rng="threefry")
+            self.cfg = cfg
+
         if mesh is None:
 
-            def _full(arrays, cam):
-                return render_radiance_with_stats(arrays, cam, cfg)
+            def _full(arrays, cam, key):
+                return render_radiance_with_stats(arrays, cam, cfg, rng_key=key)
 
-            def _first(arrays, cam):
+            def _first(arrays, cam, key):
                 return render_radiance_with_stats(
-                    arrays, cam, cfg, max_bounces=first_bounces
+                    arrays, cam, cfg, max_bounces=first_bounces, rng_key=key
                 )
 
         else:
 
-            def _full(arrays, cam):
-                img = render_radiance_sharded(arrays, cam, cfg, mesh)
+            def _full(arrays, cam, key):
+                img = render_radiance_sharded(arrays, cam, cfg, mesh, rng_key=key)
                 return img, jnp.int32(0)
 
-            def _first(arrays, cam):
+            def _first(arrays, cam, key):
                 img = render_radiance_sharded(
-                    arrays, cam, cfg, mesh, max_bounces=first_bounces
+                    arrays, cam, cfg, mesh, max_bounces=first_bounces, rng_key=key
                 )
                 return img, jnp.int32(0)
 
@@ -120,8 +128,9 @@ class Renderer:
     def _compile_path_tracer(self):
         t = StartupTimer()
         cam = self._camera_params()
-        self._render_first.lower(self.arrays, cam).compile()
-        self._render_full.lower(self.arrays, cam).compile()
+        key = jnp.uint32(0)
+        self._render_first.lower(self.arrays, cam, key).compile()
+        self._render_full.lower(self.arrays, cam, key).compile()
         t.step("Path tracer XLA compile")
         self._pt_ready.set()
 
@@ -167,8 +176,11 @@ class Renderer:
                 img.block_until_ready()
         else:
             fn = self._render_first if self.frame_index == 0 else self._render_full
+            # a fresh key per frame keeps accumulation converging; harmless
+            # otherwise (traced input, no recompilation)
+            key = jnp.uint32(self.frame_index if cfg.accumulate else 0)
             with prof.phase("render"):
-                img, rays_arr = fn(self.arrays, cam)
+                img, rays_arr = fn(self.arrays, cam, key)
                 img.block_until_ready()
             rays = int(rays_arr)
 
@@ -201,7 +213,7 @@ class Renderer:
         self._pt_ready.wait()
         for i in range(frames):
             fn = self._render_first if i == 0 else self._render_full
-            img, _ = fn(self.arrays, cam)
+            img, _ = fn(self.arrays, cam, jnp.uint32(0))
             img.block_until_ready()
 
     # -- convenience ------------------------------------------------------
