@@ -33,22 +33,24 @@ def main() -> int:
 
     fn = jax.jit(lambda a, c: render_radiance_with_stats(a, c, cfg))
 
-    # warmup: compile + 2 steady frames (reference --warmup-frames methodology)
+    # warmup: compile + 2 steady frames (reference --warmup-frames methodology).
+    # Hard-sync every frame by materializing values: on some TPU transports
+    # block_until_ready alone under-waits, which would flatter the numbers.
     t0 = time.perf_counter()
     img, rays = fn(arrays, cam)
-    img.block_until_ready()
+    np.asarray(img)
     compile_s = time.perf_counter() - t0
     for _ in range(2):
         img, rays = fn(arrays, cam)
-        img.block_until_ready()
+        np.asarray(img)
 
     frames = 5
     t0 = time.perf_counter()
     total_rays = 0
     for _ in range(frames):
         img, rays = fn(arrays, cam)
-        img.block_until_ready()
         total_rays += int(rays)
+        np.asarray(img)
     wall = time.perf_counter() - t0
 
     frame_ms = wall / frames * 1e3

@@ -67,6 +67,13 @@ class RenderConfig:
     # compact screen region; 64x64 = 4096 pixels = one Pallas packet.
     packet_tile: int = 64
 
+    # Compact bounce waves (stream-compact alive rays to the front) before
+    # traversal so packets of dead rays exit after one step. Pallas path only.
+    # Off by default: measured on v5e with the demo scene, the prefix-sum +
+    # permutation gathers cost more than the saved packet work (983 ms vs
+    # 1625 ms per 1080p frame); enable for scenes where waves die fast.
+    compact_rays: bool = False
+
     # Debug overlays (fragment_shader.glsl uniforms :99-105).
     debug_show_lights: bool = False
     debug_show_bvh: bool = False

@@ -170,10 +170,36 @@ def trace_wave(
     )
     cur_ior = direction[:, 0] * 0.0 + 1.0  # medium tracking (glsl:674)
 
+    compact = cfg.compact_rays and trace_fn is not None and trace is not brute_force_world
+
+    def compacted_trace(origin, direction, alive):
+        """Wavefront compaction (SURVEY.md §7): stream-compact alive rays to
+        the front (prefix sums + scatter, no sort) so Pallas packets made
+        entirely of dead rays exit after one traversal step; results scatter
+        back to pixel order."""
+        n = alive.shape[0]
+        a = alive.astype(jnp.int32)
+        pos_alive = jnp.cumsum(a) - a  # exclusive prefix over alive rays
+        n_alive = jnp.sum(a)
+        pos_dead = n_alive + jnp.cumsum(1 - a) - (1 - a)
+        pos = jnp.where(alive, pos_alive, pos_dead)  # ray i -> slot pos[i]
+        iota = jnp.arange(n, dtype=jnp.int32)
+        order = jnp.zeros((n,), jnp.int32).at[pos].set(iota)  # slot -> ray
+        h = trace(ws, origin[order], direction[order], alive[order])
+        from .ops.traverse import Hit as _Hit
+
+        return _Hit(
+            t=h.t[pos], point=h.point[pos], tri=h.tri[pos],
+            inst=h.inst[pos], found=h.found[pos],
+        )
+
     def bounce_step(bounce, origin, direction, color, throughput, alive, cur_ior,
                     rays, with_lighting: bool):
         rays = rays + jnp.sum(alive.astype(jnp.int32))
-        hit = trace(ws, origin, direction, alive)
+        if with_lighting or not compact:
+            hit = trace(ws, origin, direction, alive)  # primary rays: all alive
+        else:
+            hit = compacted_trace(origin, direction, alive)
         missed = alive & ~hit.found
         color = color + jnp.where(
             missed[:, None], throughput * sky_color(direction, cfg), 0.0

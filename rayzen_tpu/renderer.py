@@ -149,6 +149,21 @@ class Renderer:
         """Call after mutating scene.camera; invalidates accumulation."""
         self.reset_accumulation()
 
+    def refresh_topology(self) -> None:
+        """Rebuild the TLAS topology (and unified tree) from the *current*
+        instance transforms. The per-frame device refit keeps bounds correct
+        under any motion, but topology quality decays if instances drift far
+        from where the tree was built — this is the explicit analog of the
+        reference's per-frame host TLAS rebuild (main.cpp:1192-1194), invoked
+        on demand instead of every frame. BLAS builds are memoized, so this
+        costs one TLAS build + repack."""
+        from .packing import pack_scene
+
+        for go, t in zip(self.scene.game_objects, np.asarray(self.arrays.transforms)):
+            go.transform = np.asarray(t)
+        self.arrays = pack_scene(self.scene, self.cfg)
+        self.reset_accumulation()
+
     def reset_accumulation(self) -> None:
         self._accum = None
         self._accum_count = 0
