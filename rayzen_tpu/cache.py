@@ -33,6 +33,8 @@ _ARRAY_FIELDS = [
     "transforms", "inv_transforms", "root_bmin", "root_bmax",
     "inst_node_offset", "inst_tri_offset", "inst_mask",
     "uni_meta", "blas_src", "blas_inst", "tlas_mask", "wtri_src", "wtri_inst",
+    "node_leaf_tri",
+    "bvh2_child_node", "bvh2_child_ref", "bvh2_child_count", "bvh2_leaf_node",
     "materials", "lights",
 ]
 

@@ -44,22 +44,43 @@ from .packing import SceneArrays, WorldArrays, world_geometry
 
 
 def select_kernels(cfg: RenderConfig, tracer: str = "bvh"):
-    """Pick (closest_hit, shadow) implementations: the Pallas packet kernels
-    on TPU ("auto"/"pallas"), the portable XLA while_loop path on CPU or when
-    forced ("xla"), or the brute-force oracles (tracer="brute"). On CPU,
-    "pallas" runs the kernels in interpreter mode (tests only)."""
+    """Pick (closest_hit, shadow, closest_hit_primary) implementations.
+
+    The default TPU mix is *hybrid*: coherent waves (the peeled primary bounce
+    and the shadow queries it spawns) use the frustum-interval kernels, whose
+    internal-node tests are pure scalar work but whose conservative frustums
+    blow up on incoherent rays; bounce waves use the per-ray consensus (BVH2)
+    kernels. "pallas-bvh2" / "pallas-ml" force a single variant, "xla" the
+    portable while_loop path; tracer="brute" the oracles. On CPU the Pallas
+    kernels run in interpreter mode (tests only)."""
     if tracer == "brute":
-        return brute_force_world, shadow_brute
+        return brute_force_world, shadow_brute, None
     on_cpu = jax.default_backend() == "cpu"
-    use_pallas = cfg.kernels == "pallas" or (cfg.kernels == "auto" and not on_cpu)
-    if use_pallas:
+    pallas_kinds = ("pallas", "pallas-bvh2", "pallas-ml")
+    want_pallas = cfg.kernels in pallas_kinds or (
+        cfg.kernels == "auto" and not on_cpu
+    )
+    if want_pallas:
         from .ops import pallas_traverse as ptv
 
-        return (
-            partial(ptv.pallas_closest_hit, interpret=on_cpu),
-            partial(ptv.pallas_shadow_walk, interpret=on_cpu),
+        if cfg.kernels == "pallas-ml":  # miss-link variant, kept for comparison
+            return (
+                partial(ptv.pallas_closest_hit, interpret=on_cpu),
+                partial(ptv.pallas_shadow_walk, interpret=on_cpu),
+                None,
+            )
+        if cfg.kernels == "pallas-bvh2":  # per-ray consensus everywhere
+            return (
+                partial(ptv.pallas_closest_hit_bvh2, interpret=on_cpu),
+                partial(ptv.pallas_shadow_walk_bvh2, interpret=on_cpu),
+                None,
+            )
+        return (  # hybrid default: frustum only where rays share an origin
+            partial(ptv.pallas_closest_hit_bvh2, interpret=on_cpu),
+            partial(ptv.pallas_shadow_walk_bvh2, interpret=on_cpu),
+            partial(ptv.pallas_closest_hit_frustum, interpret=on_cpu),
         )
-    return None, None
+    return None, None, None
 
 
 def _make_sampler(cfg: RenderConfig, frag, uv, width, height, key: int):
@@ -146,6 +167,7 @@ def trace_wave(
     max_bounces: int,
     trace_fn=None,
     shadow_fn=None,
+    trace_primary_fn=None,
     active=None,
 ):
     """Trace one sample's wave to completion.
@@ -160,6 +182,7 @@ def trace_wave(
     instances of the traversal scan plus one shadow loop, keeping XLA compile
     time flat in the bounce budget."""
     trace = trace_fn or traverse_world
+    trace_primary = trace_primary_fn or trace
     if shadow_fn is None and trace is brute_force_world:
         shadow_fn = shadow_brute
     # all carries derive from `direction` so they are shard_map-varying
@@ -196,10 +219,12 @@ def trace_wave(
     def bounce_step(bounce, origin, direction, color, throughput, alive, cur_ior,
                     rays, with_lighting: bool):
         rays = rays + jnp.sum(alive.astype(jnp.int32))
-        if with_lighting or not compact:
-            hit = trace(ws, origin, direction, alive)  # primary rays: all alive
-        else:
+        if with_lighting:
+            hit = trace_primary(ws, origin, direction, alive)  # coherent wave
+        elif compact:
             hit = compacted_trace(origin, direction, alive)
+        else:
+            hit = trace(ws, origin, direction, alive)
         missed = alive & ~hit.found
         color = color + jnp.where(
             missed[:, None], throughput * sky_color(direction, cfg), 0.0
@@ -280,7 +305,7 @@ def render_rays(
     This is the shard-level entry: multi-chip rendering runs exactly this
     function on each device's tile of rays (parallel.py)."""
     max_bounces = max_bounces or cfg.max_bounces
-    trace_fn, shadow_fn = select_kernels(cfg, tracer)
+    trace_fn, shadow_fn, trace_primary_fn = select_kernels(cfg, tracer)
     sampler = _make_sampler(cfg, frag, uv, cfg.width, cfg.height, rng_key)
     ws = world_geometry(arrays)  # one refit per frame, shared by all waves
 
@@ -307,6 +332,7 @@ def render_rays(
             max_bounces,
             trace_fn=trace_fn,
             shadow_fn=shadow_fn,
+            trace_primary_fn=trace_primary_fn,
             active=active,
         )
         total = total + radiance

@@ -190,6 +190,406 @@ def _make_shadow_kernel(leaf_k: int, min_visibility: float, t_eps: float):
     return kernel
 
 
+STACK_DEPTH = 128  # max tree depth for the ordered stack kernels
+
+
+def _make_closest_kernel_bvh2(leaf_k: int):
+    """Ordered stack traversal: each iteration pops one internal node, tests
+    BOTH children's boxes (stored in the parent row), processes leaf children
+    inline, and pushes hit internal children far-first/near-second (packet
+    consensus on entry distance) so t-pruning culls far subtrees. A missed
+    child never costs an iteration — roughly halving steps vs miss links."""
+
+    def kernel(inner_ref, leaf_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+               dz_ref, act_ref, t_ref, tri_ref, stack_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        act = act_ref[:] > 0.5
+        ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+        t0 = jnp.full(ox.shape, T_FAR, jnp.float32)
+        tri0 = jnp.full(ox.shape, -1, jnp.int32)
+        stack_ref[0] = jnp.int32(0)  # root inner node
+
+        def leaf_proc(leaf_idx, hitmask, t_best, tri_best):
+            lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
+            first = lrow[0, 10 * leaf_k].astype(jnp.int32)
+            count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
+            for k in range(leaf_k):
+                tri = [lrow[0, 9 * k + c] for c in range(9)]
+                t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+                better = hitmask & h & (t < t_best) & (count > k)
+                t_best = jnp.where(better, t, t_best)
+                tri_best = jnp.where(better, first + k, tri_best)
+            return t_best, tri_best
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, t_best, tri_best = c
+            sp = sp - 1
+            node = stack_ref[sp]
+            row = inner_ref[pl.ds(node, 1), :]
+            tminl, boxl = _slab(ox, oy, oz, ix, iy, iz,
+                                row[0, 0], row[0, 1], row[0, 2],
+                                row[0, 3], row[0, 4], row[0, 5])
+            tminr, boxr = _slab(ox, oy, oz, ix, iy, iz,
+                                row[0, 6], row[0, 7], row[0, 8],
+                                row[0, 9], row[0, 10], row[0, 11])
+            hitl = boxl & act & (tminl <= t_best)
+            hitr = boxr & act & (tminr <= t_best)
+            lref = row[0, 12].astype(jnp.int32)
+            rref = row[0, 13].astype(jnp.int32)
+            lcnt = row[0, 14].astype(jnp.int32)
+            rcnt = row[0, 15].astype(jnp.int32)
+            # two cross-lane reductions (~1.4 us each on TPU) — down from four:
+            # the consensus-ordering sums were measured as a wash and dropped
+            any_l = jnp.any(hitl)
+            any_r = jnp.any(hitr)
+            l_leaf = lcnt >= 0
+            r_leaf = rcnt >= 0
+            hit_leaf_l = any_l & l_leaf
+            hit_leaf_r = any_r & r_leaf
+
+            def leaves(tt):
+                t_best, tri_best = tt
+                t_best, tri_best = jax.lax.cond(
+                    hit_leaf_l,
+                    lambda uu: leaf_proc(lref, hitl, *uu),
+                    lambda uu: uu,
+                    (t_best, tri_best),
+                )
+                t_best, tri_best = jax.lax.cond(
+                    hit_leaf_r,
+                    lambda uu: leaf_proc(rref, hitr, *uu),
+                    lambda uu: uu,
+                    (t_best, tri_best),
+                )
+                return t_best, tri_best
+
+            t_best, tri_best = jax.lax.cond(
+                hit_leaf_l | hit_leaf_r, leaves, lambda tt: tt, (t_best, tri_best)
+            )
+
+            push_l = any_l & jnp.logical_not(l_leaf)
+            push_r = any_r & jnp.logical_not(r_leaf)
+            both = push_l & push_r
+            # fixed left-near ordering (consensus ordering costs 2 more
+            # reductions and measured as a wash)
+            v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
+            stack_ref[sp] = v0
+            stack_ref[sp + 1] = lref
+            sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
+            return sp, t_best, tri_best
+
+        _, t_best, tri_best = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), t0, tri0)
+        )
+        t_ref[:] = t_best
+        tri_ref[:] = tri_best
+
+    return kernel
+
+
+def _make_shadow_kernel_bvh2(leaf_k: int, min_visibility: float, t_eps: float):
+    def kernel(inner_ref, leaf_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+               dz_ref, md_ref, act_ref, vis_ref, stack_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        maxd = md_ref[:]
+        act = act_ref[:] > 0.5
+        ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+        vis0 = jnp.ones(ox.shape, jnp.float32)
+        stack_ref[0] = jnp.int32(0)
+
+        def leaf_proc(leaf_idx, hitmask, vis):
+            lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
+            count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
+            for k in range(leaf_k):
+                tri = [lrow[0, 9 * k + c] for c in range(9)]
+                t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+                blocking = hitmask & h & (t >= t_eps) & (t < maxd) & (count > k)
+                factor = lrow[0, 9 * leaf_k + k]  # transparency; 0 = opaque
+                vis = jnp.where(blocking, vis * factor, vis)
+            return vis
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, vis = c
+            sp = sp - 1
+            node = stack_ref[sp]
+            row = inner_ref[pl.ds(node, 1), :]
+            live = act & (vis > min_visibility)
+            tminl, boxl = _slab(ox, oy, oz, ix, iy, iz,
+                                row[0, 0], row[0, 1], row[0, 2],
+                                row[0, 3], row[0, 4], row[0, 5])
+            tminr, boxr = _slab(ox, oy, oz, ix, iy, iz,
+                                row[0, 6], row[0, 7], row[0, 8],
+                                row[0, 9], row[0, 10], row[0, 11])
+            hitl = boxl & live & (tminl <= maxd)
+            hitr = boxr & live & (tminr <= maxd)
+            lref = row[0, 12].astype(jnp.int32)
+            rref = row[0, 13].astype(jnp.int32)
+            lcnt = row[0, 14].astype(jnp.int32)
+            rcnt = row[0, 15].astype(jnp.int32)
+            any_l = jnp.any(hitl)
+            any_r = jnp.any(hitr)
+            l_leaf = lcnt >= 0
+            r_leaf = rcnt >= 0
+
+            vis = jax.lax.cond(
+                any_l & l_leaf, lambda v: leaf_proc(lref, hitl, v),
+                lambda v: v, vis,
+            )
+            vis = jax.lax.cond(
+                any_r & r_leaf, lambda v: leaf_proc(rref, hitr, v),
+                lambda v: v, vis,
+            )
+
+            push_l = any_l & jnp.logical_not(l_leaf)
+            push_r = any_r & jnp.logical_not(r_leaf)
+            both = push_l & push_r
+            v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
+            v1 = lref
+            stack_ref[sp] = v0
+            stack_ref[sp + 1] = v1
+            sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
+            # consensus early exit: every ray resolved
+            all_dead = jnp.logical_not(jnp.any(act & (vis > min_visibility)))
+            sp = jnp.where(all_dead, 0, sp)
+            return sp, vis
+
+        _, vis = jax.lax.while_loop(cond, body, (jnp.int32(1), vis0))
+        vis_ref[:] = vis
+
+    return kernel
+
+
+def _interval_inv(dlo, dhi):
+    """Interval reciprocal [1/d] for d in [dlo, dhi]; spans 0 -> (-BIG, BIG)."""
+    big = jnp.float32(1e30)
+    pos = dlo > 0.0
+    neg = dhi < 0.0
+    lo = jnp.where(pos, 1.0 / dhi, jnp.where(neg, 1.0 / dlo, -big))
+    hi = jnp.where(pos, 1.0 / dlo, jnp.where(neg, 1.0 / dhi, big))
+    return lo, hi
+
+
+def _interval_mul(alo, ahi, blo, bhi):
+    p1, p2, p3, p4 = alo * blo, alo * bhi, ahi * blo, ahi * bhi
+    return (
+        jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+        jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+    )
+
+
+def _frustum_slab_axis(bmin, bmax, olo, ohi, ilo, ihi):
+    """Conservative per-axis slab interval for the whole packet (scalars).
+    Returns (entry_lo, exit_hi): entry_lo <= every ray's axis entry t,
+    exit_hi >= every ray's axis exit t."""
+    a_lo, a_hi = bmin - ohi, bmin - olo
+    b_lo, b_hi = bmax - ohi, bmax - olo
+    t0_lo, t0_hi = _interval_mul(a_lo, a_hi, ilo, ihi)
+    t1_lo, t1_hi = _interval_mul(b_lo, b_hi, ilo, ihi)
+    return jnp.minimum(t0_lo, t1_lo), jnp.maximum(t0_hi, t1_hi)
+
+
+def _packet_frustum(ox, oy, oz, dx, dy, dz):
+    """Scalar frustum state for a packet: per-axis origin intervals and
+    direction-reciprocal intervals (12 reductions, once per packet)."""
+    o_ivals = [(jnp.min(v), jnp.max(v)) for v in (ox, oy, oz)]
+    i_ivals = [_interval_inv(jnp.min(v), jnp.max(v)) for v in (dx, dy, dz)]
+    return o_ivals, i_ivals
+
+
+def _frustum_box_test(g, col0, o_ivals, i_ivals, t_bound):
+    """Conservative box-vs-packet-frustum test from 6 scalar reads starting at
+    record column ``col0``. Returns (possible, entry_lo)."""
+    entry_lo = jnp.float32(-3.4e38)
+    exit_hi = jnp.float32(3.4e38)
+    for ax in range(3):
+        e_lo, x_hi = _frustum_slab_axis(
+            g(col0 + ax), g(col0 + 3 + ax),
+            o_ivals[ax][0], o_ivals[ax][1],
+            i_ivals[ax][0], i_ivals[ax][1],
+        )
+        entry_lo = jnp.maximum(entry_lo, e_lo)
+        exit_hi = jnp.minimum(exit_hi, x_hi)
+    possible = (exit_hi >= jnp.maximum(entry_lo, 0.0)) & (entry_lo <= t_bound)
+    return possible, entry_lo
+
+
+def _make_closest_kernel_frustum(leaf_k: int):
+    """Frustum-interval packet traversal: internal nodes are tested with pure
+    SCALAR interval arithmetic against the packet's conservative frustum — no
+    vector ops, no cross-lane reductions, no lax.cond on the internal-node
+    path (the expensive primitives on TPU: a reduction costs ~1.4 us, a cond
+    ~2 us, vs ~0.1 us for the whole scalar box test). Per-ray work happens
+    only at leaves: Möller–Trumbore needs no per-ray box mask for correctness.
+    Occlusion pruning uses a scalar packet bound max_r(t_best) refreshed after
+    each leaf."""
+
+    def kernel(inner_ref, leaf_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+               dz_ref, act_ref, t_ref, tri_ref, stack_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        act = act_ref[:] > 0.5
+        o_ivals, i_ivals = _packet_frustum(ox, oy, oz, dx, dy, dz)
+        t0v = jnp.full(ox.shape, T_FAR, jnp.float32)
+        tri0 = jnp.full(ox.shape, -1, jnp.int32)
+        stack_ref[0] = jnp.int32(0)
+
+        def leaf_proc(leaf_idx, t_best, tri_best):
+            lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
+            first = lrow[0, 10 * leaf_k].astype(jnp.int32)
+            count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
+            for k in range(leaf_k):
+                tri = [lrow[0, 9 * k + c] for c in range(9)]
+                t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+                better = act & h & (t < t_best) & (count > k)
+                t_best = jnp.where(better, t, t_best)
+                tri_best = jnp.where(better, first + k, tri_best)
+            return t_best, tri_best
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, t_max, t_best, tri_best = c
+            sp = sp - 1
+            node = stack_ref[sp]
+            row = inner_ref[pl.ds(node, 1), :]
+            g = lambda c_: row[0, c_]
+            ok_l, tl = _frustum_box_test(g, 0, o_ivals, i_ivals, t_max)
+            ok_r, tr = _frustum_box_test(g, 6, o_ivals, i_ivals, t_max)
+            lref = g(12).astype(jnp.int32)
+            rref = g(13).astype(jnp.int32)
+            l_leaf = g(14) >= 0.0
+            r_leaf = g(15) >= 0.0
+
+            hit_leaf_l = ok_l & l_leaf
+            hit_leaf_r = ok_r & r_leaf
+            any_leaf = hit_leaf_l | hit_leaf_r
+
+            def leaves(tt):
+                t_best, tri_best = tt
+                t_best, tri_best = jax.lax.cond(
+                    hit_leaf_l, lambda uu: leaf_proc(lref, *uu),
+                    lambda uu: uu, (t_best, tri_best),
+                )
+                t_best, tri_best = jax.lax.cond(
+                    hit_leaf_r, lambda uu: leaf_proc(rref, *uu),
+                    lambda uu: uu, (t_best, tri_best),
+                )
+                return t_best, tri_best
+
+            t_best, tri_best = jax.lax.cond(
+                any_leaf, leaves, lambda tt: tt, (t_best, tri_best)
+            )
+            # refresh the scalar occlusion bound only when leaves were hit
+            t_max = jnp.where(any_leaf, jnp.max(t_best), t_max)
+
+            push_l = ok_l & jnp.logical_not(l_leaf)
+            push_r = ok_r & jnp.logical_not(r_leaf)
+            both = push_l & push_r
+            near_left = tl <= tr  # scalar entry ordering — free
+            far = jnp.where(near_left, rref, lref)
+            near = jnp.where(near_left, lref, rref)
+            v0 = jnp.where(both, far, jnp.where(push_l, lref, rref))
+            stack_ref[sp] = v0
+            stack_ref[sp + 1] = near
+            sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
+            return sp, t_max, t_best, tri_best
+
+        _, _, t_best, tri_best = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), jnp.float32(T_FAR), t0v, tri0)
+        )
+        t_ref[:] = t_best
+        tri_ref[:] = tri_best
+
+    return kernel
+
+
+def _make_shadow_kernel_frustum(leaf_k: int, min_visibility: float, t_eps: float):
+    def kernel(inner_ref, leaf_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+               dz_ref, md_ref, act_ref, vis_ref, stack_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        maxd = md_ref[:]
+        act = act_ref[:] > 0.5
+        o_ivals, i_ivals = _packet_frustum(ox, oy, oz, dx, dy, dz)
+        maxd_hi = jnp.max(jnp.where(act, maxd, 0.0))
+        vis0 = jnp.ones(ox.shape, jnp.float32)
+        stack_ref[0] = jnp.int32(0)
+
+        def leaf_proc(leaf_idx, vis):
+            lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
+            count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
+            for k in range(leaf_k):
+                tri = [lrow[0, 9 * k + c] for c in range(9)]
+                t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+                blocking = act & h & (t >= t_eps) & (t < maxd) & (count > k)
+                factor = lrow[0, 9 * leaf_k + k]
+                vis = jnp.where(blocking, vis * factor, vis)
+            return vis
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, live_bound, vis = c
+            sp = sp - 1
+            node = stack_ref[sp]
+            row = inner_ref[pl.ds(node, 1), :]
+            g = lambda c_: row[0, c_]
+            ok_l, _ = _frustum_box_test(g, 0, o_ivals, i_ivals, maxd_hi)
+            ok_r, _ = _frustum_box_test(g, 6, o_ivals, i_ivals, maxd_hi)
+            lref = g(12).astype(jnp.int32)
+            rref = g(13).astype(jnp.int32)
+            l_leaf = g(14) >= 0.0
+            r_leaf = g(15) >= 0.0
+            hit_leaf_l = ok_l & l_leaf
+            hit_leaf_r = ok_r & r_leaf
+            any_leaf = hit_leaf_l | hit_leaf_r
+
+            def leaves(vv):
+                vv = jax.lax.cond(
+                    hit_leaf_l, lambda u: leaf_proc(lref, u), lambda u: u, vv
+                )
+                vv = jax.lax.cond(
+                    hit_leaf_r, lambda u: leaf_proc(rref, u), lambda u: u, vv
+                )
+                return vv
+
+            vis = jax.lax.cond(any_leaf, leaves, lambda vv: vv, vis)
+            # consensus early exit, refreshed only after leaf work
+            alive = jnp.where(
+                any_leaf,
+                jnp.max(jnp.where(act, vis, 0.0)),
+                live_bound,
+            )
+            dead = alive <= min_visibility
+
+            push_l = ok_l & jnp.logical_not(l_leaf) & jnp.logical_not(dead)
+            push_r = ok_r & jnp.logical_not(r_leaf) & jnp.logical_not(dead)
+            both = push_l & push_r
+            v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
+            stack_ref[sp] = v0
+            stack_ref[sp + 1] = lref
+            sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
+            sp = jnp.where(dead, 0, sp)
+            return sp, alive, vis
+
+        _, _, vis = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), jnp.float32(1.0), vis0)
+        )
+        vis_ref[:] = vis
+
+    return kernel
+
+
 def _pad_rows(x, rows):
     r = x.shape[0] % rows
     if r == 0:
@@ -228,10 +628,107 @@ def _grid_specs(n_ray_inputs):
     return in_specs, ray_spec
 
 
+def _run_stack_closest(kernel_maker, ws, origin, direction, active, interpret):
+    n_rays = origin.shape[0]
+    ox, oy, oz, dx, dy, dz, act = _ray_operands(origin, direction, active)
+    rows = ox.shape[0]
+    grid = rows // PACKET_ROWS
+    in_specs, ray_spec = _grid_specs(7)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] + in_specs  # leaf table
+    kernel = kernel_maker(ws.leaf_k)
+    t, tri = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        ),
+        in_specs=in_specs,
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(ws.inner_table, ws.leaf_table, ox, oy, oz, dx, dy, dz, act)
+    t = t.reshape(-1)[:n_rays]
+    tri = tri.reshape(-1)[:n_rays]
+    found = tri >= 0
+    point = origin + direction * t[:, None]
+    inst = jnp.where(found, ws.tri_inst[jnp.maximum(tri, 0)], -1)
+    return Hit(t=t, point=point, tri=tri, inst=inst, found=found)
+
+
+def _run_stack_shadow(
+    kernel_maker, ws, origin, direction, max_dist, active,
+    min_visibility, t_eps, interpret,
+):
+    n_rays = origin.shape[0]
+    ox, oy, oz, dx, dy, dz, act = _ray_operands(origin, direction, active)
+    md = _as_tiles(jnp.broadcast_to(max_dist, (n_rays,)))
+    if md.shape[0] != ox.shape[0]:
+        md = jnp.pad(md, ((0, ox.shape[0] - md.shape[0]), (0, 0)))
+    rows = ox.shape[0]
+    grid = rows // PACKET_ROWS
+    in_specs, ray_spec = _grid_specs(8)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] + in_specs
+    kernel = kernel_maker(ws.leaf_k, float(min_visibility), float(t_eps))
+    vis = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        in_specs=in_specs,
+        out_specs=ray_spec,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(ws.inner_table, ws.leaf_table, ox, oy, oz, dx, dy, dz, md, act)
+    vis = vis.reshape(-1)[:n_rays]
+    vis = jnp.where(active, vis, 1.0)
+    rays = jnp.sum(active.astype(jnp.int32))
+    return vis, rays
+
+
+def pallas_closest_hit_bvh2(
+    ws: WorldArrays, origin, direction, active, interpret: bool = False
+) -> Hit:
+    """Ordered-stack BVH2 packet traversal (per-ray consensus variant)."""
+    return _run_stack_closest(
+        _make_closest_kernel_bvh2, ws, origin, direction, active, interpret
+    )
+
+
+def pallas_shadow_walk_bvh2(
+    ws: WorldArrays, origin, direction, max_dist, active,
+    min_visibility: float = 0.05, t_eps: float = 1e-3, interpret: bool = False,
+):
+    """Ordered-stack BVH2 transmission walk (per-ray consensus variant)."""
+    return _run_stack_shadow(
+        _make_shadow_kernel_bvh2, ws, origin, direction, max_dist, active,
+        min_visibility, t_eps, interpret,
+    )
+
+
+def pallas_closest_hit_frustum(
+    ws: WorldArrays, origin, direction, active, interpret: bool = False
+) -> Hit:
+    """Frustum-interval packet traversal (default TPU closest-hit)."""
+    return _run_stack_closest(
+        _make_closest_kernel_frustum, ws, origin, direction, active, interpret
+    )
+
+
+def pallas_shadow_walk_frustum(
+    ws: WorldArrays, origin, direction, max_dist, active,
+    min_visibility: float = 0.05, t_eps: float = 1e-3, interpret: bool = False,
+):
+    """Frustum-interval transmission walk (default TPU shadow query)."""
+    return _run_stack_shadow(
+        _make_shadow_kernel_frustum, ws, origin, direction, max_dist, active,
+        min_visibility, t_eps, interpret,
+    )
+
+
 def pallas_closest_hit(
     ws: WorldArrays, origin, direction, active, interpret: bool = False
 ) -> Hit:
-    """Drop-in replacement for traverse.traverse_world on TPU."""
+    """Miss-link packet traversal (kept for comparison; see *_bvh2)."""
     n_rays = origin.shape[0]
     ox, oy, oz, dx, dy, dz, act = _ray_operands(origin, direction, active)
     rows = ox.shape[0]

@@ -89,6 +89,13 @@ class SceneArrays:
     wtri_src: jax.Array  # (Tw,) i32 — source row in tri_* per world triangle
     wtri_inst: jax.Array  # (Tw,) i32 — owning instance per world triangle
     node_leaf_tri: jax.Array  # (Nu, K) i32 — world-tri ids inlined per leaf
+    # BVH2 child-table view of the same tree (for the ordered stack kernels):
+    # unary TLAS leaves are elided, children are explicit. child_node = -1
+    # marks a padding child (empty box, never hit).
+    bvh2_child_node: jax.Array  # (Ni, 2) i32 — unified node id per child
+    bvh2_child_ref: jax.Array  # (Ni, 2) i32 — inner index | leaf-table index
+    bvh2_child_count: jax.Array  # (Ni, 2) i32 — -1 internal; >=0 leaf count
+    bvh2_leaf_node: jax.Array  # (L,) i32 — unified node id per leaf-table row
     # Shading tables.
     materials: jax.Array  # (M, 8) f32
     lights: jax.Array  # (L, 8) f32
@@ -225,6 +232,10 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         wtri_src=jnp.asarray(uni["wtri_src"]),
         wtri_inst=jnp.asarray(uni["wtri_inst"]),
         node_leaf_tri=jnp.asarray(uni["node_leaf_tri"]),
+        bvh2_child_node=jnp.asarray(uni["bvh2_child_node"]),
+        bvh2_child_ref=jnp.asarray(uni["bvh2_child_ref"]),
+        bvh2_child_count=jnp.asarray(uni["bvh2_child_count"]),
+        bvh2_leaf_node=jnp.asarray(uni["bvh2_leaf_node"]),
         tri_v0=jnp.asarray(tri_v0),
         tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2),
@@ -260,7 +271,7 @@ def _build_unified(instance_meta, node_meta, transforms, root_bmin, root_bmax):
     leaf_k = 4  # leaf size cap inlined into node records (BVH.cpp:115)
 
     if not nonempty:
-        return dict(
+        out = dict(
             uni_meta=np.asarray([[0, 0, -1]], dtype=np.int32),
             blas_src=np.zeros((0,), dtype=np.int32),
             blas_inst=np.zeros((0,), dtype=np.int32),
@@ -269,6 +280,8 @@ def _build_unified(instance_meta, node_meta, transforms, root_bmin, root_bmax):
             wtri_inst=np.zeros((1,), dtype=np.int32),
             node_leaf_tri=np.zeros((1, leaf_k), dtype=np.int32),
         )
+        out.update(_build_bvh2(out["uni_meta"], 1))
+        return out
 
     # initial world AABBs (8 transformed corners of each BLAS root)
     init_wmin, init_wmax = [], []
@@ -355,7 +368,7 @@ def _build_unified(instance_meta, node_meta, transforms, root_bmin, root_bmax):
         wtri_src.extend(range(m.tri_offset, m.tri_offset + m.num_triangles))
         wtri_inst.extend([i] * m.num_triangles)
 
-    return dict(
+    out = dict(
         uni_meta=uni_meta,
         blas_src=blas_src,
         blas_inst=blas_inst,
@@ -363,6 +376,82 @@ def _build_unified(instance_meta, node_meta, transforms, root_bmin, root_bmax):
         wtri_src=np.asarray(wtri_src, dtype=np.int32),
         wtri_inst=np.asarray(wtri_inst, dtype=np.int32),
         node_leaf_tri=node_leaf_tri,
+    )
+    out.update(_build_bvh2(uni_meta, n_tlas))
+    return out
+
+
+def _build_bvh2(uni_meta: np.ndarray, n_tlas: int):
+    """Derive the explicit child-table (BVH2) view of the unified tree.
+
+    The threaded layout stores one box per node and relies on miss links; the
+    ordered stack kernels instead want each *internal* node to carry both
+    children's boxes so a missed child never costs an iteration. Unary TLAS
+    leaves (which just forward to their instance's BLAS root and share its
+    world box) are elided. A synthetic root is added when the whole tree is a
+    single leaf so the kernels always start from an internal node."""
+
+    def resolve(node):
+        """Elide unary TLAS leaves: a TLAS leaf's meta is (blas_root, -1, miss)
+        with blas_root >= n_tlas while real TLAS internals point inside the
+        TLAS section."""
+        while node < n_tlas and uni_meta[node][1] < 0 and uni_meta[node][0] >= n_tlas:
+            node = int(uni_meta[node][0])
+        return node
+
+    root = resolve(0)
+    inner_child_node, inner_child_ref, inner_child_count = [], [], []
+    leaf_node = []
+
+    def add_leaf(node):
+        leaf_node.append(node)
+        return len(leaf_node) - 1
+
+    if uni_meta[root][1] >= 0:
+        # whole tree is one leaf: synthetic root with a padding right child
+        li = add_leaf(root)
+        inner_child_node.append((root, -1))
+        inner_child_ref.append((li, 0))
+        inner_child_count.append((int(uni_meta[root][1]), 0))
+    else:
+        # BFS; children of an internal node are (left, left+1) in both the
+        # TLAS and BLAS sections (builder adjacency), then TLAS-leaf-elided
+        index_of = {root: 0}
+        queue = [root]
+        inner_child_node = [None]
+        inner_child_ref = [None]
+        inner_child_count = [None]
+        while queue:
+            node = queue.pop(0)
+            slot = index_of[node]
+            left = int(uni_meta[node][0])
+            kids_node, kids_ref, kids_count = [], [], []
+            for child in (resolve(left), resolve(left + 1)):
+                count = int(uni_meta[child][1])
+                if count >= 0:
+                    kids_ref.append(add_leaf(child))
+                    kids_count.append(count)
+                else:
+                    if child not in index_of:
+                        index_of[child] = len(inner_child_node)
+                        inner_child_node.append(None)
+                        inner_child_ref.append(None)
+                        inner_child_count.append(None)
+                        queue.append(child)
+                    kids_ref.append(index_of[child])
+                    kids_count.append(-1)
+                kids_node.append(child)
+            inner_child_node[slot] = tuple(kids_node)
+            inner_child_ref[slot] = tuple(kids_ref)
+            inner_child_count[slot] = tuple(kids_count)
+
+    if not leaf_node:
+        leaf_node.append(0)
+    return dict(
+        bvh2_child_node=np.asarray(inner_child_node, dtype=np.int32),
+        bvh2_child_ref=np.asarray(inner_child_ref, dtype=np.int32),
+        bvh2_child_count=np.asarray(inner_child_count, dtype=np.int32),
+        bvh2_leaf_node=np.asarray(leaf_node, dtype=np.int32),
     )
 
 
@@ -383,10 +472,17 @@ class WorldArrays:
     tri_mat: jax.Array  # (Tw,) i32
     tri_inst: jax.Array  # (Tw,) i32
     # Packed per-node records: ONE row gather serves a whole traversal step.
-    # Layout (f32): [0:3] bmin | [3:6] bmax | [6:9] bitcast(left_first, count,
-    # miss) | [9:9+9K] K leaf triangles as (v0, e1, e2) | pad. Internal nodes
-    # carry zero triangles; the count field masks the unused lanes.
+    # Layout (f32): [0:3] bmin | [3:6] bmax | [6:9] float-encoded (left_first,
+    # count, miss) | [9:9+9K] K leaf triangles as (v0, e1, e2) | [..+K]
+    # per-triangle transparency | pad. Internal nodes carry zero triangles;
+    # the count field masks the unused lanes.
     records: jax.Array  # (Nu, W) f32
+    # BVH2 ordered-traversal tables (pallas stack kernels):
+    # inner_table row: [lmin(3) lmax(3) rmin(3) rmax(3) lref rref lcnt rcnt]
+    # (refs/counts float-encoded; leaf_table row: [K tris x 9 | K transp |
+    # first | count | pad]).
+    inner_table: jax.Array  # (Ni, 16) f32
+    leaf_table: jax.Array  # (L, W2) f32
     materials: jax.Array  # (M, 8) f32
     lights: jax.Array  # (L, 8) f32
     leaf_k: int = dataclasses.field(metadata=dict(static=True), default=4)
@@ -457,6 +553,32 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
     if pad:
         records = jnp.pad(records, ((0, 0), (0, pad)))
 
+    # ---- BVH2 tables for the ordered stack kernels ----
+    # child world bounds gathered from the refit node bounds; padding children
+    # (node id -1) get an inverted box plus count 0 so they are inert
+    cn = arrays.bvh2_child_node  # (Ni, 2)
+    cn_safe = jnp.maximum(cn, 0)
+    cb = node_bounds[cn_safe]  # (Ni, 2, 6)
+    inverted = jnp.asarray([inf, inf, inf, -inf, -inf, -inf], jnp.float32)
+    cb = jnp.where((cn >= 0)[..., None], cb, inverted)
+    cref = arrays.bvh2_child_ref.astype(jnp.float32)  # (Ni, 2)
+    ccnt = arrays.bvh2_child_count.astype(jnp.float32)
+    inner_table = jnp.concatenate(
+        [cb[:, 0, :], cb[:, 1, :], cref, ccnt], axis=1
+    )  # (Ni, 16)
+
+    leaf_nodes = arrays.bvh2_leaf_node  # (L,)
+    leaf_tri_block = leaf_block[leaf_nodes]  # (L, 9K)
+    leaf_transp = transp_block[leaf_nodes]  # (L, K)
+    leaf_first = arrays.uni_meta[leaf_nodes, 0].astype(jnp.float32)[:, None]
+    leaf_count = arrays.uni_meta[leaf_nodes, 1].astype(jnp.float32)[:, None]
+    leaf_table = jnp.concatenate(
+        [leaf_tri_block, leaf_transp, leaf_first, leaf_count], axis=1
+    )
+    pad2 = (-leaf_table.shape[1]) % 8
+    if pad2:
+        leaf_table = jnp.pad(leaf_table, ((0, 0), (0, pad2)))
+
     return WorldArrays(
         tri_v0=v0,
         tri_e1=e1,
@@ -464,6 +586,8 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
         tri_mat=arrays.tri_mat[src],
         tri_inst=arrays.wtri_inst,
         records=records,
+        inner_table=inner_table,
+        leaf_table=leaf_table,
         materials=arrays.materials,
         lights=arrays.lights,
         leaf_k=int(leaf_k),

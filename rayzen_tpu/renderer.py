@@ -127,12 +127,16 @@ class Renderer:
 
     def _compile_path_tracer(self):
         t = StartupTimer()
-        cam = self._camera_params()
-        key = jnp.uint32(0)
-        self._render_first.lower(self.arrays, cam, key).compile()
-        self._render_full.lower(self.arrays, cam, key).compile()
-        t.step("Path tracer XLA compile")
-        self._pt_ready.set()
+        try:
+            cam = self._camera_params()
+            key = jnp.uint32(0)
+            self._render_first.lower(self.arrays, cam, key).compile()
+            self._render_full.lower(self.arrays, cam, key).compile()
+            t.step("Path tracer XLA compile")
+            self._pt_ready.set()
+        except Exception as e:  # stay in preview mode, like the reference's
+            # editor fallback on a failed async shader compile (main.cpp:425-429)
+            log.error(f"Path tracer compile failed; staying in preview mode: {e}")
 
     @property
     def path_tracer_ready(self) -> bool:
