@@ -20,11 +20,13 @@ import numpy as np
 def main() -> int:
     import jax
 
+    from rayzen_tpu.cache import setup_compile_cache
     from rayzen_tpu.config import RenderConfig
     from rayzen_tpu.demo import build_demo_scene
     from rayzen_tpu.integrator import render_radiance_with_stats
     from rayzen_tpu.packing import pack_scene
 
+    setup_compile_cache(".rayzen_cache/xla")  # warm-start repeat runs
     width, height = 1920, 1080
     cfg = RenderConfig(width=width, height=height, spp=1, max_bounces=5)
     scene = build_demo_scene(width, height)

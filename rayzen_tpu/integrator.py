@@ -306,6 +306,14 @@ def render_rays(
     function on each device's tile of rays (parallel.py)."""
     max_bounces = max_bounces or cfg.max_bounces
     trace_fn, shadow_fn, trace_primary_fn = select_kernels(cfg, tracer)
+    if trace_fn is not None and tracer != "brute" and cfg.kernels == "auto":
+        # Pallas kernels keep the whole scene in VMEM (~16 MB/core); very
+        # large scenes fall back to the HBM-streaming XLA path automatically.
+        n_nodes = int(arrays.uni_meta.shape[0])
+        n_leaves = int(arrays.bvh2_leaf_node.shape[0])
+        approx_bytes = 4 * (n_nodes * (56 + 16) + n_leaves * 48)
+        if approx_bytes > 12 * 1024 * 1024:
+            trace_fn = shadow_fn = trace_primary_fn = None
     sampler = _make_sampler(cfg, frag, uv, cfg.width, cfg.height, rng_key)
     ws = world_geometry(arrays)  # one refit per frame, shared by all waves
 
