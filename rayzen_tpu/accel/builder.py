@@ -246,6 +246,35 @@ def compute_miss_links(left_first: np.ndarray, count: np.ndarray) -> np.ndarray:
     return miss
 
 
+def save_bvh(path: str, bvh: BLAS) -> None:
+    """Serialize a built BVH to disk (BVH::saveToFile parity, BVH.cpp:242-253;
+    NPZ instead of raw PODs)."""
+    np.savez_compressed(
+        path if path.endswith(".npz") else path + ".npz",
+        bounds_min=bvh.bounds_min,
+        bounds_max=bvh.bounds_max,
+        left_first=bvh.left_first,
+        count=bvh.count,
+        miss=bvh.miss,
+        order=bvh.order,
+    )
+
+
+def load_bvh(path: str) -> BLAS:
+    """Load a serialized BVH (BVH::loadFromFile parity, BVH.cpp:254-265)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    with np.load(path) as z:
+        return BLAS(
+            bounds_min=z["bounds_min"],
+            bounds_max=z["bounds_max"],
+            left_first=z["left_first"],
+            count=z["count"],
+            miss=z["miss"],
+            order=z["order"],
+        )
+
+
 def brute_force_closest_hit(origin, direction, tri_verts, t_eps=1e-4, det_eps=1e-4):
     """Numpy Möller–Trumbore over *all* triangles — the oracle for BVH property
     tests (the reference has no tests; SURVEY.md §4 proposes exactly this)."""

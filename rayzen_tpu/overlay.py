@@ -68,19 +68,19 @@ def _box_corners(bmin, bmax):
     return bmin * (1.0 - _CORNER_SEL) + bmax * _CORNER_SEL  # (8, 3)
 
 
-def wireframe_pass(frag, boxes, box_colors, view_proj, resolution, thickness):
-    """Distance-to-segment wireframe field for a list of AABBs.
+import functools
 
-    frag: (P, 2) pixel coords; boxes: list of (corners (8,3)) already in the
-    space expected by ``view_proj``; box_colors: list of (3,). Returns
-    (wire (P,), color (P, 3)) accumulated with the reference's sequential
-    mix/max pattern (glsl:318-344)."""
-    wire = frag[:, 0] * 0.0
-    color = jnp.zeros((frag.shape[0], 3), dtype=jnp.float32)
-    res = jnp.asarray(resolution, dtype=jnp.float32)
-    vp = jnp.asarray(view_proj)
-    for corners, bcol in zip(boxes, box_colors):
-        c = jnp.asarray(corners)  # (8, 3)
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("thickness",))
+def _wireframe_scan(frag, corners, colors, vp, res, thickness):
+    """Jitted core: lax.scan over stacked boxes, preserving the reference's
+    sequential mix/max accumulation (glsl:318-344)."""
+
+    def one_box(carry, box):
+        wire, color = carry
+        c, bcol = box  # (8, 3), (3,)
         hom = jnp.concatenate([c, jnp.ones((8, 1), jnp.float32)], axis=1)
         clip = hom @ vp.T  # (8, 4)
         w = clip[:, 3]
@@ -88,18 +88,42 @@ def wireframe_pass(frag, boxes, box_colors, view_proj, resolution, thickness):
         a = screen[_EDGES[:, 0]]  # (12, 2)
         b = screen[_EDGES[:, 1]]
         seg_ok = (w[_EDGES[:, 0]] > 0.0) & (w[_EDGES[:, 1]] > 0.0)
-        ab = b - a  # (12, 2)
+        ab = b - a
         denom = jnp.maximum(jnp.sum(ab * ab, axis=1), 1e-12)
-        # distance from every pixel to every segment: (P, 12)
         pa = frag[:, None, :] - a[None, :, :]
         t = jnp.clip(jnp.sum(pa * ab[None], axis=-1) / denom[None], 0.0, 1.0)
         proj = a[None] + t[..., None] * ab[None]
         d = jnp.linalg.norm(frag[:, None, :] - proj, axis=-1)
         d = jnp.where(seg_ok[None], d, 1e6)
         hit = (jnp.min(d, axis=1) < thickness).astype(jnp.float32)
-        color = color * (1.0 - hit[:, None]) + jnp.asarray(bcol) * hit[:, None]
+        color = color * (1.0 - hit[:, None]) + bcol[None] * hit[:, None]
         wire = jnp.maximum(wire, hit)
+        return (wire, color), None
+
+    wire0 = frag[:, 0] * 0.0
+    color0 = jnp.zeros((frag.shape[0], 3), dtype=jnp.float32)
+    (wire, color), _ = jax.lax.scan(one_box, (wire0, color0), (corners, colors))
     return wire, color
+
+
+def wireframe_pass(frag, boxes, box_colors, view_proj, resolution, thickness):
+    """Distance-to-segment wireframe field for a list of AABBs.
+
+    frag: (P, 2) pixel coords; boxes: list of (corners (8,3)) already in the
+    space expected by ``view_proj``; box_colors: list of (3,). Returns
+    (wire (P,), color (P, 3))."""
+    if not boxes:
+        return frag[:, 0] * 0.0, jnp.zeros((frag.shape[0], 3), jnp.float32)
+    corners = jnp.asarray(np.stack(boxes)).astype(jnp.float32)  # (B, 8, 3)
+    colors = jnp.asarray(np.stack(box_colors)).astype(jnp.float32)  # (B, 3)
+    return _wireframe_scan(
+        frag,
+        corners,
+        colors,
+        jnp.asarray(view_proj),
+        jnp.asarray(resolution, dtype=jnp.float32),
+        float(thickness),
+    )
 
 
 def tlas_leaf_boxes(arrays: SceneArrays):

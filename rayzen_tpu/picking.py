@@ -1,0 +1,59 @@
+"""Mouse picking: map a pixel to the triangle/instance under the cursor.
+
+Reference: in BLAS-debug mode the reference unprojects the cursor and runs a
+brute-force Möller–Trumbore over *every triangle of every object* on the CPU
+each frame to select (instance, triangle) for the branch-visualization overlay
+(RayZen/src/main.cpp:502-552). Here the same query is one batched device
+intersection over the world-space soup — exact, and microscopic next to a frame.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.camera_rays import generate_rays
+from .ops.traverse import brute_force_world
+from .packing import SceneArrays, world_geometry
+
+
+def pick(
+    arrays: SceneArrays,
+    camera_params: dict,
+    pixel_xy: Tuple[float, float],
+    resolution: Tuple[int, int],
+) -> Optional[dict]:
+    """Pick at a pixel (x, y) in GL window coordinates (origin bottom-left).
+
+    Returns None on a miss, else a dict with instance, triangle (index into the
+    instance's packed leaf-order soup — directly usable as
+    RenderConfig.debug_selected_tri), world t, and the hit point."""
+    width, height = resolution
+    uv = jnp.asarray(
+        [[(pixel_xy[0] + 0.5) / width, (pixel_xy[1] + 0.5) / height]],
+        dtype=jnp.float32,
+    )
+    origin, direction = generate_rays(
+        uv,
+        jnp.zeros_like(uv),
+        camera_params["inv_proj"],
+        camera_params["inv_view"],
+        camera_params["position"],
+    )
+    ws = world_geometry(arrays)
+    hit = brute_force_world(ws, origin, direction, jnp.ones(1, bool))
+    if not bool(hit.found[0]):
+        return None
+    world_tri = int(hit.tri[0])
+    inst = int(hit.inst[0])
+    # world-tri index -> index within the instance's triangle range
+    wtri_inst = np.asarray(arrays.wtri_inst)
+    first_of_inst = int(np.argmax(wtri_inst == inst))
+    return dict(
+        instance=inst,
+        triangle=world_tri - first_of_inst,
+        t=float(hit.t[0]),
+        point=np.asarray(hit.point[0]),
+    )
