@@ -15,7 +15,6 @@ mesh BLAS files, TLAS + instances, and the whole SSBO set (main.cpp:913-945,
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 

@@ -76,14 +76,15 @@ def main(argv=None) -> int:
     log.set_level(cfg.log_level)
     scene = build_demo_scene(cfg.width, cfg.height, obj_dir=args.obj_dir)
 
+    # Offscreen batch rendering gains nothing from the async-compile preview
+    # fallback (that's for interactive use) — compile synchronously so the
+    # process teardown never races a daemon compile thread.
     if args.multichip:
-        renderer = Renderer.multi_chip(scene, cfg)
+        renderer = Renderer.multi_chip(scene, cfg, async_compile=False)
     else:
-        renderer = Renderer(scene, cfg, async_compile=not args.path_tracer_only)
+        renderer = Renderer(scene, cfg, async_compile=False)
 
     mode = "preview" if args.preview else ("pt" if args.path_tracer_only else "auto")
-    if mode != "preview":
-        renderer._pt_ready.wait()  # offscreen batch: wait rather than fall back
 
     last = None
     t0 = time.perf_counter()

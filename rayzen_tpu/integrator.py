@@ -10,9 +10,10 @@ refraction with TIR fallback :723-747, stochastic reflect-vs-diffuse for opaque
 Rebuilt as a *wavefront*: the whole pixel wave advances bounce by bounce with
 dense masked arithmetic — throughput/alive/current-IOR are (R,)-shaped state.
 Bounce 0 is peeled (direct lighting happens only there); bounces 1..N-1 run in a
-``lax.while_loop`` that exits when the wave dies, and instances are swept by a
-single compiled ``lax.scan`` (traverse.py) — the whole frame compiles to a small,
-bounded XLA program no matter the bounce budget or instance count.
+``lax.while_loop`` that exits when the wave dies. Traversal runs over the
+unified world-space tree (packing.py) through one of the interchangeable
+backends picked by ``select_kernels`` — the whole frame compiles to a small,
+bounded program no matter the bounce budget or instance count.
 
 Faithfully-kept reference quirks (SURVEY.md §7): throughput trims 0.95 (mirror),
 0.98 (TIR), albedo*0.4 (diffuse); direct lighting only on bounce 0; the scatter

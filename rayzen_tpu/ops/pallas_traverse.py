@@ -26,8 +26,6 @@ shared by every grid step (scenes up to ~70k nodes / ~150k triangles fit the
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

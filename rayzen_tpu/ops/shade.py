@@ -27,7 +27,7 @@ from .. import material as mat_mod
 from ..config import RenderConfig
 from ..packing import WorldArrays
 from .intersect import dot3, normalize
-from .traverse import hit_shading_data, shadow_walk, traverse_world
+from .traverse import hit_shading_data, shadow_walk  # noqa: F401 (re-export)
 
 PI_REF = 3.14159  # the reference's pi (glsl:197,600,648,657)
 SHADOW_EPS = 1e-3  # glsl:510

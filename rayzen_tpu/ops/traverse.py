@@ -27,7 +27,6 @@ BVH.cpp:115) and masked by the leaf's actual count.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -15,13 +15,12 @@ synchronizing a global `any()` across chips every tree step.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .config import RenderConfig
 from .integrator import render_rays

@@ -142,6 +142,13 @@ class Renderer:
     def path_tracer_ready(self) -> bool:
         return self._pt_ready.is_set()
 
+    def close(self) -> None:
+        """Join the background compile thread (call before interpreter exit if
+        the renderer was created with async_compile=True)."""
+        t = getattr(self, "_compile_thread", None)
+        if t is not None and t.is_alive():
+            t.join()
+
     # -- dynamic scene ---------------------------------------------------
     def update_transforms(self, transforms: np.ndarray) -> None:
         """Move instances without rebuilding anything (transforms are jit
@@ -237,5 +244,7 @@ class Renderer:
 
     # -- convenience ------------------------------------------------------
     @staticmethod
-    def multi_chip(scene: Scene, cfg: RenderConfig, n_devices: Optional[int] = None):
-        return Renderer(scene, cfg, mesh=make_mesh(n_devices))
+    def multi_chip(
+        scene: Scene, cfg: RenderConfig, n_devices: Optional[int] = None, **kw
+    ):
+        return Renderer(scene, cfg, mesh=make_mesh(n_devices), **kw)
