@@ -318,9 +318,7 @@ def render_rays(
     sampler = _make_sampler(cfg, frag, uv, cfg.width, cfg.height, rng_key)
     ws = world_geometry(arrays)  # one refit per frame, shared by all waves
 
-    total = jnp.zeros((frag.shape[0], 3), dtype=jnp.float32)
-    rays_traced = jnp.int32(0)
-    for samp in range(cfg.spp):
+    def one_sample(samp):
         sampler.start_sample(samp)
         jitter = sampler.camera_jitter()
         origin, direction = camera_rays.generate_rays(
@@ -330,7 +328,7 @@ def render_rays(
             camera_params["inv_view"],
             camera_params["position"],
         )
-        radiance, rays = trace_wave(
+        return trace_wave(
             ws,
             origin,
             direction,
@@ -344,8 +342,26 @@ def render_rays(
             trace_primary_fn=trace_primary_fn,
             active=active,
         )
-        total = total + radiance
-        rays_traced = rays_traced + rays
+
+    total = jnp.zeros((frag.shape[0], 3), dtype=jnp.float32)
+    rays_traced = jnp.int32(0)
+    if cfg.spp <= 2:
+        for samp in range(cfg.spp):
+            radiance, rays = one_sample(samp)
+            total = total + radiance
+            rays_traced = rays_traced + rays
+    else:
+        # higher sample counts loop on device (constant program size; each
+        # sample's computation is identical to the unrolled form) — one
+        # dispatch accumulates many spp, amortizing per-dispatch overhead
+        def body(samp, carry):
+            total, rays_traced = carry
+            radiance, rays = one_sample(samp)
+            return total + radiance, rays_traced + rays
+
+        total, rays_traced = jax.lax.fori_loop(
+            0, cfg.spp, body, (total, rays_traced)
+        )
 
     color = jnp.clip(total / float(cfg.spp), 0.0, 1.0)  # glsl:772-773
     if with_stats:

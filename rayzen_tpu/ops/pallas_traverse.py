@@ -240,10 +240,14 @@ def _make_closest_kernel_bvh2(leaf_k: int):
             rref = row[0, 13].astype(jnp.int32)
             lcnt = row[0, 14].astype(jnp.int32)
             rcnt = row[0, 15].astype(jnp.int32)
-            # two cross-lane reductions (~1.4 us each on TPU) — down from four:
-            # the consensus-ordering sums were measured as a wash and dropped
-            any_l = jnp.any(hitl)
-            any_r = jnp.any(hitr)
+            # ONE cross-lane reduction (~1.4+ us each on TPU) serves both
+            # consensus bits: pack the two hit counts into disjoint ranges
+            # (packet <= 4096 rays < 8192, so the counts cannot alias)
+            packed = jnp.sum(
+                hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * 8192
+            )
+            any_l = (packed % 8192) > 0
+            any_r = packed >= 8192
             l_leaf = lcnt >= 0
             r_leaf = rcnt >= 0
             hit_leaf_l = any_l & l_leaf
@@ -332,31 +336,42 @@ def _make_shadow_kernel_bvh2(leaf_k: int, min_visibility: float, t_eps: float):
             rref = row[0, 13].astype(jnp.int32)
             lcnt = row[0, 14].astype(jnp.int32)
             rcnt = row[0, 15].astype(jnp.int32)
-            any_l = jnp.any(hitl)
-            any_r = jnp.any(hitr)
+            # one packed reduction for both consensus bits (see closest kernel)
+            packed = jnp.sum(
+                hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * 8192
+            )
+            any_l = (packed % 8192) > 0
+            any_r = packed >= 8192
             l_leaf = lcnt >= 0
             r_leaf = rcnt >= 0
+            hit_leaf_l = any_l & l_leaf
+            hit_leaf_r = any_r & r_leaf
+            any_leaf = hit_leaf_l | hit_leaf_r
 
-            vis = jax.lax.cond(
-                any_l & l_leaf, lambda v: leaf_proc(lref, hitl, v),
-                lambda v: v, vis,
-            )
-            vis = jax.lax.cond(
-                any_r & r_leaf, lambda v: leaf_proc(rref, hitr, v),
-                lambda v: v, vis,
+            # consensus early exit: visibility can only drop at leaves, so the
+            # (reduction-priced) dead check runs inside the leaf branch only
+            def leaves(vv):
+                vv = jax.lax.cond(
+                    hit_leaf_l, lambda u: leaf_proc(lref, hitl, u), lambda u: u, vv
+                )
+                vv = jax.lax.cond(
+                    hit_leaf_r, lambda u: leaf_proc(rref, hitr, u), lambda u: u, vv
+                )
+                dead = jnp.logical_not(jnp.any(act & (vv > min_visibility)))
+                return vv, dead
+
+            vis, dead = jax.lax.cond(
+                any_leaf, leaves, lambda vv: (vv, jnp.bool_(False)), vis
             )
 
             push_l = any_l & jnp.logical_not(l_leaf)
             push_r = any_r & jnp.logical_not(r_leaf)
             both = push_l & push_r
             v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
-            v1 = lref
             stack_ref[sp] = v0
-            stack_ref[sp + 1] = v1
+            stack_ref[sp + 1] = lref
             sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
-            # consensus early exit: every ray resolved
-            all_dead = jnp.logical_not(jnp.any(act & (vis > min_visibility)))
-            sp = jnp.where(all_dead, 0, sp)
+            sp = jnp.where(dead, 0, sp)
             return sp, vis
 
         _, vis = jax.lax.while_loop(cond, body, (jnp.int32(1), vis0))
@@ -472,7 +487,7 @@ def _make_closest_kernel_frustum(leaf_k: int):
             any_leaf = hit_leaf_l | hit_leaf_r
 
             def leaves(tt):
-                t_best, tri_best = tt
+                t_best, tri_best, _ = tt
                 t_best, tri_best = jax.lax.cond(
                     hit_leaf_l, lambda uu: leaf_proc(lref, *uu),
                     lambda uu: uu, (t_best, tri_best),
@@ -481,13 +496,14 @@ def _make_closest_kernel_frustum(leaf_k: int):
                     hit_leaf_r, lambda uu: leaf_proc(rref, *uu),
                     lambda uu: uu, (t_best, tri_best),
                 )
-                return t_best, tri_best
+                # refresh the scalar occlusion bound inside the leaf branch
+                # only — a reduction every iteration would dominate the
+                # otherwise scalar-only internal-node path
+                return t_best, tri_best, jnp.max(t_best)
 
-            t_best, tri_best = jax.lax.cond(
-                any_leaf, leaves, lambda tt: tt, (t_best, tri_best)
+            t_best, tri_best, t_max = jax.lax.cond(
+                any_leaf, leaves, lambda tt: tt, (t_best, tri_best, t_max)
             )
-            # refresh the scalar occlusion bound only when leaves were hit
-            t_max = jnp.where(any_leaf, jnp.max(t_best), t_max)
 
             push_l = ok_l & jnp.logical_not(l_leaf)
             push_r = ok_r & jnp.logical_not(r_leaf)
