@@ -86,6 +86,9 @@ def main(argv=None) -> int:
 
     mode = "preview" if args.preview else ("pt" if args.path_tracer_only else "auto")
 
+    # "--out frames_{i:04d}.png" writes the whole sequence; a plain path keeps
+    # only the last frame
+    sequence = args.out and ("{" in args.out)
     last = None
     t0 = time.perf_counter()
     for i in range(args.frames):
@@ -93,6 +96,8 @@ def main(argv=None) -> int:
             scene.camera.rotate(4.0, 0.0)  # orbit-ish fly-through
             renderer.sync_camera()
         last = renderer.render_frame(mode=mode)
+        if sequence:
+            write_png(args.out.format(i=i), last)
     wall = time.perf_counter() - t0
     summ = renderer.profiler.summary(skip=1 if args.frames > 1 else 0)
     log.info(
@@ -104,7 +109,7 @@ def main(argv=None) -> int:
             else ""
         )
     )
-    if last is not None and args.out:
+    if last is not None and args.out and not sequence:
         write_png(args.out, last)
         log.info(f"Wrote {args.out}")
     return 0

@@ -72,3 +72,16 @@ def moller_trumbore(origin, direction, v0, e1, e2):
 
 def face_normal(e1, e2):
     return normalize(cross3(e1, e2), eps=1e-20)
+
+
+class Ray:
+    """Host-side ray (origin + direction) with point_at — API parity with the
+    reference's CPU Ray (RayZen/include/Ray.h:6-18, which is likewise unused by
+    the render path; device code keeps rays as SoA arrays)."""
+
+    def __init__(self, origin, direction):
+        self.origin = jnp.asarray(origin, jnp.float32)
+        self.direction = jnp.asarray(direction, jnp.float32)
+
+    def point_at(self, t):
+        return self.origin + self.direction * t
