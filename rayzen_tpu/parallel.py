@@ -11,6 +11,11 @@ only if a replicated result is requested).
 `shard_map` (not bare GSPMD jit) matters here: the traversal/shadow while_loops
 run *per shard*, so each chip iterates only until its own rays finish instead of
 synchronizing a global `any()` across chips every tree step.
+
+NOTE: the Pallas packet kernels inside shard_map are untested here (this
+environment exposes one physical chip; CPU-mesh tests run the XLA path). If a
+multi-chip deployment hits Pallas-in-shard_map issues, set
+RenderConfig(kernels="xla") — correctness is identical.
 """
 
 from __future__ import annotations
