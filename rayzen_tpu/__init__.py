@@ -12,7 +12,8 @@ from .light import Light  # noqa: F401
 from .material import Material  # noqa: F401
 from .mesh import Mesh  # noqa: F401
 from .scene import GameObject, Scene  # noqa: F401
-from .packing import SceneArrays, pack_scene  # noqa: F401
-from .integrator import render_radiance  # noqa: F401
+from .packing import SceneArrays, WorldArrays, pack_scene, world_geometry  # noqa: F401
+from .integrator import render_radiance, render_radiance_with_stats  # noqa: F401
+from . import procedural  # noqa: F401
 
 __version__ = "0.1.0"

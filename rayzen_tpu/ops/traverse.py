@@ -264,12 +264,16 @@ def shadow_brute(
 def hit_shading_data(ws: WorldArrays, hit: Hit):
     """Resolve the winning triangle into (world normal, material row, mat idx).
 
-    Geometry is already world-space, so the normal is just the normalized
-    geometric cross product — equivalent to the reference's inverse-transpose
-    transform of the object-space normal (glsl:489-490) for orientation-
-    preserving instance transforms; NOT flipped toward the ray (glsl:411)."""
+    Geometry is already world-space, so the normal is the normalized geometric
+    cross product times the owning instance's orientation sign — exactly the
+    reference's inverse-transpose transform of the object-space normal
+    (glsl:489-490), mirrored instances included; NOT flipped toward the ray
+    (glsl:411)."""
     tid = jnp.maximum(hit.tri, 0)
     n_world = face_normal(ws.tri_e1[tid], ws.tri_e2[tid])
+    # mirrored instances (det < 0) flip the world cross product; the sign
+    # restores the reference's inverse-transpose orientation (glsl:489-490)
+    n_world = n_world * ws.tri_nsign[tid][:, None]
     mat_idx = ws.tri_mat[tid]
     material = ws.materials[mat_idx]  # (R, 8)
     return n_world, material, mat_idx

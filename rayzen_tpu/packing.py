@@ -471,6 +471,10 @@ class WorldArrays:
     tri_e2: jax.Array  # (Tw, 3) f32
     tri_mat: jax.Array  # (Tw,) i32
     tri_inst: jax.Array  # (Tw,) i32
+    tri_nsign: jax.Array  # (Tw,) f32 — +-1: orientation of the owning
+    # instance transform. World-space cross(e1, e2) flips under mirroring
+    # (det < 0); the reference's inverse-transpose normal (glsl:489) does not,
+    # so the sign restores parity for mirrored instances.
     # Packed per-node records: ONE row gather serves a whole traversal step.
     # Layout (f32): [0:3] bmin | [3:6] bmax | [6:9] float-encoded (left_first,
     # count, miss) | [9:9+9K] K leaf triangles as (v0, e1, e2) | [..+K]
@@ -508,6 +512,9 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
     v0 = jnp.einsum("tij,tj->ti", rot, arrays.tri_v0[src]) + trans
     e1 = jnp.einsum("tij,tj->ti", rot, arrays.tri_e1[src])
     e2 = jnp.einsum("tij,tj->ti", rot, arrays.tri_e2[src])
+    # orientation sign per instance (mirroring flips cross products)
+    inst_det = jnp.linalg.det(arrays.transforms[:, :3, :3])  # (I,)
+    tri_nsign = jnp.where(inst_det[arrays.wtri_inst] < 0.0, -1.0, 1.0)
 
     # BLAS node bounds -> conservative world AABBs (8 transformed corners)
     b = arrays.node_bounds[arrays.blas_src]  # (Nb, 6) object space
@@ -585,6 +592,7 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
         tri_e2=e2,
         tri_mat=arrays.tri_mat[src],
         tri_inst=arrays.wtri_inst,
+        tri_nsign=tri_nsign.astype(jnp.float32),
         records=records,
         inner_table=inner_table,
         leaf_table=leaf_table,

@@ -153,6 +153,32 @@ class TestTraversalVsBruteForce:
         assert int(h.inst[0]) == 1
         assert np.isclose(float(h.t[0]), 4.0, atol=1e-5)
 
+    def test_mirrored_instance_normal_orientation(self):
+        # a mirrored (det<0) instance must produce the same normal as the
+        # reference's inverse-transpose rule (glsl:489-490)
+        from rayzen_tpu.ops.traverse import hit_shading_data
+        from rayzen_tpu.packing import world_geometry
+
+        mesh = procedural.cube(0)
+        for sx in (1.0, -1.0):
+            scene = Scene()
+            xform = np.diag([sx, 1.0, 1.0, 1.0]).astype(np.float32)
+            scene.game_objects.append(GameObject(mesh, xform))
+            arrays = pack_scene(scene, RenderConfig())
+            ws = world_geometry(arrays)
+            o = jnp.asarray([[0.25, 0.25, 5.0]], jnp.float32)
+            d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+            hit = traverse_scene(arrays, o, d, jnp.ones(1, bool))
+            assert bool(hit.found[0])
+            n, _, _ = hit_shading_data(ws, hit)
+            n = np.asarray(n)[0]
+            # reference rule: n_w = normalize(invT^T @ n_local); the +z cube
+            # face has n_local = (0, 0, 1) regardless of mirroring
+            inv_t = np.linalg.inv(xform)[:3, :3]
+            n_ref = inv_t.T @ np.array([0.0, 0.0, 1.0])
+            n_ref /= np.linalg.norm(n_ref)
+            assert np.allclose(n, n_ref, atol=1e-5), (sx, n, n_ref)
+
     def test_inactive_rays_report_no_hit(self, small_arrays):
         o, d = random_rays(64, seed=5)
         active = jnp.zeros(64, bool)
