@@ -18,7 +18,10 @@ format) rather than the reference's table.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .packing import SceneArrays, instance_world_aabbs
@@ -66,11 +69,6 @@ def _box_corners(bmin, bmax):
     bmin = np.asarray(bmin, np.float32)
     bmax = np.asarray(bmax, np.float32)
     return bmin * (1.0 - _CORNER_SEL) + bmax * _CORNER_SEL  # (8, 3)
-
-
-import functools
-
-import jax
 
 
 @functools.partial(jax.jit, static_argnames=("thickness",))

@@ -69,12 +69,6 @@ class SceneArrays:
     inv_transforms: jax.Array  # (I, 4, 4) f32
     root_bmin: jax.Array  # (I, 3) f32 object-space BLAS root bounds
     root_bmax: jax.Array  # (I, 3) f32
-    # Stacked instance layout for lax.scan traversal (same data as
-    # instance_meta, but as device arrays so one compiled loop sweeps all
-    # instances instead of an unrolled copy per instance).
-    inst_node_offset: jax.Array  # (I,) i32
-    inst_tri_offset: jax.Array  # (I,) i32
-    inst_mask: jax.Array  # (I,) bool — False for empty meshes
     # ---- unified world-space BVH (static topology, device-refit bounds) ----
     # The TLAS and every instance's BLAS are stitched into ONE threaded tree:
     # TLAS leaves point at their instance's BLAS root, and BLAS escape links
@@ -197,23 +191,11 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         inv_transforms = np.linalg.inv(transforms.astype(np.float64)).astype(np.float32)
         root_bmin = np.stack(root_bmin).astype(np.float32)
         root_bmax = np.stack(root_bmax).astype(np.float32)
-        inst_node_offset = np.asarray(
-            [m.node_offset for m in instance_meta], dtype=np.int32
-        )
-        inst_tri_offset = np.asarray(
-            [m.tri_offset for m in instance_meta], dtype=np.int32
-        )
-        inst_mask = np.asarray(
-            [m.num_triangles > 0 for m in instance_meta], dtype=bool
-        )
     else:
         transforms = np.eye(4, dtype=np.float32)[None]
         inv_transforms = transforms.copy()
         root_bmin = np.full((1, 3), np.finfo(np.float32).max, dtype=np.float32)
         root_bmax = -root_bmin
-        inst_node_offset = np.zeros(1, dtype=np.int32)
-        inst_tri_offset = np.zeros(1, dtype=np.int32)
-        inst_mask = np.zeros(1, dtype=bool)
 
     uni = _build_unified(instance_meta, node_meta, transforms, root_bmin, root_bmax)
 
@@ -246,9 +228,6 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         inv_transforms=jnp.asarray(inv_transforms),
         root_bmin=jnp.asarray(root_bmin),
         root_bmax=jnp.asarray(root_bmax),
-        inst_node_offset=jnp.asarray(inst_node_offset),
-        inst_tri_offset=jnp.asarray(inst_tri_offset),
-        inst_mask=jnp.asarray(inst_mask),
         materials=jnp.asarray(pack_materials(scene.materials)),
         lights=jnp.asarray(pack_lights(scene.lights)),
         instance_meta=tuple(instance_meta),

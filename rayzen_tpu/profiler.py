@@ -95,13 +95,3 @@ class FrameProfiler:
             return {}
         keys = set().union(*(h.keys() for h in hist))
         return {k: sum(h.get(k, 0.0) for h in hist) / len(hist) for k in keys}
-
-
-def count_rays(width: int, height: int, spp: int, bounces: int, shadow_rays: int) -> int:
-    """Upper-bound ray count per frame for throughput reporting: primary +
-    (bounces-1) secondary waves + per-light shadow rays on the primary hit.
-    Actual traced rays are fewer (misses/RR terminate); reporting against the
-    upper bound would flatter the number, so callers should prefer
-    ``measured`` counts when available — this is the static fallback."""
-    per_sample = bounces + shadow_rays
-    return width * height * spp * per_sample
