@@ -61,5 +61,8 @@ class Light:
 
 def pack_lights(lights: Sequence[Light]) -> np.ndarray:
     if not lights:
-        return np.zeros((1, PACKED_WIDTH), dtype=np.float32)
+        # genuinely zero rows: the light loops unroll over shape[0], so an
+        # unlit scene casts no shadow rays at all (reference: numLights == 0
+        # skips the loop, fragment_shader.glsl:615)
+        return np.zeros((0, PACKED_WIDTH), dtype=np.float32)
     return np.stack([l.packed() for l in lights])

@@ -77,23 +77,39 @@ class Mesh:
 
 
 def parse_obj(text: str, material_index: int = 0) -> Mesh:
-    """OBJ parsing core (string input, testable without the filesystem)."""
+    """OBJ parsing core (string input, testable without the filesystem).
+
+    Robustness deviation from the reference: malformed `v`/`f` lines are
+    skipped with a log line (the reference's std::stoi would throw and abort,
+    Mesh.cpp:30); out-of-range face indices are dropped likewise."""
     positions = []
     tris = []
+    bad = 0
     for line in text.splitlines():
-        if line.startswith("v "):
-            parts = line[2:].split()
-            positions.append([float(parts[0]), float(parts[1]), float(parts[2])])
-        elif line.startswith("f "):
-            idxs = []
-            for token in line[2:].split():
-                # keep only the position index from tokens like "3/5/7" or "3//1"
-                head = token.split("/", 1)[0]
-                idxs.append(int(head))
-            if len(idxs) >= 3:
-                # fan triangulation, 1-based indices (Mesh.cpp:38-46)
-                for i in range(1, len(idxs) - 1):
-                    tris.append((idxs[0] - 1, idxs[i] - 1, idxs[i + 1] - 1))
+        try:
+            if line.startswith("v "):
+                parts = line[2:].split()
+                positions.append(
+                    [float(parts[0]), float(parts[1]), float(parts[2])]
+                )
+            elif line.startswith("f "):
+                idxs = []
+                for token in line[2:].split():
+                    # position index only, from tokens like "3/5/7" or "3//1"
+                    head = token.split("/", 1)[0]
+                    idxs.append(int(head))
+                if len(idxs) >= 3:
+                    # fan triangulation, 1-based indices (Mesh.cpp:38-46)
+                    for i in range(1, len(idxs) - 1):
+                        tri = (idxs[0] - 1, idxs[i] - 1, idxs[i + 1] - 1)
+                        if all(0 <= t < len(positions) for t in tri):
+                            tris.append(tri)
+                        else:
+                            bad += 1
+        except (ValueError, IndexError):
+            bad += 1
+    if bad:
+        log.error(f"OBJ parse: skipped {bad} malformed face(s)/line(s)")
     if not tris:
         return Mesh()
     pos = np.asarray(positions, dtype=np.float32)

@@ -63,6 +63,20 @@ class TestEndToEnd:
         # means should be close (same estimator), not identical
         assert abs(i1.mean() - i4.mean()) < 0.05
 
+    def test_zero_lights_ambient_only(self):
+        # no lights: direct lighting reduces to the ambient term; image is
+        # finite and darker than the lit version
+        scene = build_small_scene(32, 24)
+        lit_arrays = pack_scene(scene, RenderConfig())
+        cam = cam_params(scene)
+        cfg = RenderConfig(width=32, height=24, spp=1, max_bounces=3)
+        lit = np.asarray(render_radiance(lit_arrays, cam, cfg))
+        scene.lights = []
+        dark_arrays = pack_scene(scene, cfg)
+        dark = np.asarray(render_radiance(dark_arrays, cam, cfg))
+        assert np.isfinite(dark).all()
+        assert dark.mean() < lit.mean()
+
     def test_bounce_budget_changes_image(self, small_arrays, small_camera):
         cfg = RenderConfig(width=32, height=24, spp=1, max_bounces=5)
         full = np.asarray(render_radiance(small_arrays, small_camera, cfg))

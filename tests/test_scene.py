@@ -39,6 +39,17 @@ class TestObjLoader:
         m = parse_obj(text)
         assert m.num_triangles == 1
 
+    def test_malformed_lines_skipped(self):
+        text = (
+            "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+            "v nonsense here\n"        # malformed vertex
+            "f 1 2 zzz\n"              # malformed face index
+            "f 1 2 99\n"               # out-of-range face index
+            "f 1 2 3\n"                # valid
+        )
+        m = parse_obj(text)
+        assert m.num_triangles == 1
+
     def test_missing_file_returns_empty(self, tmp_path):
         m = Mesh.load_from_obj(str(tmp_path / "car.obj"), 0)
         assert m.num_triangles == 0  # graceful degradation (main.cpp:183-188)
