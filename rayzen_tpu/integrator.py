@@ -215,6 +215,7 @@ def trace_wave(
         return _Hit(
             t=h.t[pos], point=h.point[pos], tri=h.tri[pos],
             inst=h.inst[pos], found=h.found[pos],
+            normal=h.normal[pos], mat=h.mat[pos],
         )
 
     def bounce_step(bounce, origin, direction, color, throughput, alive, cur_ior,

@@ -87,21 +87,42 @@ def _mt_broadcast(ox, oy, oz, dx, dy, dz, tri):
     return t, hit
 
 
+def _cross_scalars(tri):
+    """Scalar cross(e1, e2) of one leaf triangle's 9 scalars."""
+    e1x, e1y, e1z = tri[3], tri[4], tri[5]
+    e2x, e2y, e2z = tri[6], tri[7], tri[8]
+    return (
+        e1y * e2z - e1z * e2y,
+        e1z * e2x - e1x * e2z,
+        e1x * e2y - e1y * e2x,
+    )
+
+
+def _update_attrs(better, tri, menc_scalar, nx, ny, nz, menc):
+    cx, cy, cz = _cross_scalars(tri)
+    nx = jnp.where(better, cx, nx)
+    ny = jnp.where(better, cy, ny)
+    nz = jnp.where(better, cz, nz)
+    menc = jnp.where(better, menc_scalar, menc)
+    return nx, ny, nz, menc
+
+
 def _make_closest_kernel(leaf_k: int):
     def kernel(rec_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               act_ref, t_ref, tri_ref):
+               act_ref, t_ref, tri_ref, nx_ref, ny_ref, nz_ref, me_ref):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         act = act_ref[:] > 0.5
         ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
         t0 = jnp.full(ox.shape, T_FAR, jnp.float32)
         tri0 = jnp.full(ox.shape, -1, jnp.int32)
+        z0 = jnp.zeros(ox.shape, jnp.float32)
 
         def cond(c):
             return c[0] >= 0
 
         def body(c):
-            cur, t_best, tri_best = c
+            cur, t_best, tri_best, nx, ny, nz, menc = c
             row = rec_ref[pl.ds(cur, 1), :]  # (1, W) scalar-indexed node fetch
             tmin, box = _slab(
                 ox, oy, oz, ix, iy, iz,
@@ -115,24 +136,34 @@ def _make_closest_kernel(leaf_k: int):
             any_hit = jnp.any(hit)
 
             def do_leaf(tt):
-                t_best, tri_best = tt
+                t_best, tri_best, nx, ny, nz, menc = tt
                 for k in range(leaf_k):
                     tri = [row[0, 9 + 9 * k + c] for c in range(9)]
                     t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
                     better = hit & h & (t < t_best) & (count > k)
                     t_best = jnp.where(better, t, t_best)
                     tri_best = jnp.where(better, left + k, tri_best)
-                return t_best, tri_best
+                    nx, ny, nz, menc = _update_attrs(
+                        better, tri, row[0, 9 + 10 * leaf_k + k], nx, ny, nz, menc
+                    )
+                return t_best, tri_best, nx, ny, nz, menc
 
-            t_best, tri_best = jax.lax.cond(
-                any_hit & is_leaf, do_leaf, lambda tt: tt, (t_best, tri_best)
+            t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
+                any_hit & is_leaf, do_leaf, lambda tt: tt,
+                (t_best, tri_best, nx, ny, nz, menc),
             )
             nxt = jnp.where(any_hit & jnp.logical_not(is_leaf), left, miss)
-            return nxt, t_best, tri_best
+            return nxt, t_best, tri_best, nx, ny, nz, menc
 
-        _, t_best, tri_best = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, tri0))
+        _, t_best, tri_best, nx, ny, nz, menc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t0, tri0, z0, z0, z0, z0)
+        )
         t_ref[:] = t_best
         tri_ref[:] = tri_best
+        nx_ref[:] = nx
+        ny_ref[:] = ny
+        nz_ref[:] = nz
+        me_ref[:] = menc
 
     return kernel
 
@@ -199,16 +230,18 @@ def _make_closest_kernel_bvh2(leaf_k: int):
     child never costs an iteration — roughly halving steps vs miss links."""
 
     def kernel(inner_ref, leaf_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-               dz_ref, act_ref, t_ref, tri_ref, stack_ref):
+               dz_ref, act_ref, t_ref, tri_ref, nx_ref, ny_ref, nz_ref, me_ref,
+               stack_ref):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         act = act_ref[:] > 0.5
         ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
         t0 = jnp.full(ox.shape, T_FAR, jnp.float32)
         tri0 = jnp.full(ox.shape, -1, jnp.int32)
+        z0 = jnp.zeros(ox.shape, jnp.float32)
         stack_ref[0] = jnp.int32(0)  # root inner node
 
-        def leaf_proc(leaf_idx, hitmask, t_best, tri_best):
+        def leaf_proc(leaf_idx, hitmask, t_best, tri_best, nx, ny, nz, menc):
             lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
             first = lrow[0, 10 * leaf_k].astype(jnp.int32)
             count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
@@ -218,13 +251,16 @@ def _make_closest_kernel_bvh2(leaf_k: int):
                 better = hitmask & h & (t < t_best) & (count > k)
                 t_best = jnp.where(better, t, t_best)
                 tri_best = jnp.where(better, first + k, tri_best)
-            return t_best, tri_best
+                nx, ny, nz, menc = _update_attrs(
+                    better, tri, lrow[0, 10 * leaf_k + 2 + k], nx, ny, nz, menc
+                )
+            return t_best, tri_best, nx, ny, nz, menc
 
         def cond(c):
             return c[0] > 0
 
         def body(c):
-            sp, t_best, tri_best = c
+            sp, t_best, tri_best, nx, ny, nz, menc = c
             sp = sp - 1
             node = stack_ref[sp]
             row = inner_ref[pl.ds(node, 1), :]
@@ -254,23 +290,23 @@ def _make_closest_kernel_bvh2(leaf_k: int):
             hit_leaf_r = any_r & r_leaf
 
             def leaves(tt):
-                t_best, tri_best = tt
-                t_best, tri_best = jax.lax.cond(
+                tt = jax.lax.cond(
                     hit_leaf_l,
                     lambda uu: leaf_proc(lref, hitl, *uu),
                     lambda uu: uu,
-                    (t_best, tri_best),
+                    tt,
                 )
-                t_best, tri_best = jax.lax.cond(
+                tt = jax.lax.cond(
                     hit_leaf_r,
                     lambda uu: leaf_proc(rref, hitr, *uu),
                     lambda uu: uu,
-                    (t_best, tri_best),
+                    tt,
                 )
-                return t_best, tri_best
+                return tt
 
-            t_best, tri_best = jax.lax.cond(
-                hit_leaf_l | hit_leaf_r, leaves, lambda tt: tt, (t_best, tri_best)
+            t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
+                hit_leaf_l | hit_leaf_r, leaves, lambda tt: tt,
+                (t_best, tri_best, nx, ny, nz, menc),
             )
 
             push_l = any_l & jnp.logical_not(l_leaf)
@@ -282,13 +318,17 @@ def _make_closest_kernel_bvh2(leaf_k: int):
             stack_ref[sp] = v0
             stack_ref[sp + 1] = lref
             sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
-            return sp, t_best, tri_best
+            return sp, t_best, tri_best, nx, ny, nz, menc
 
-        _, t_best, tri_best = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), t0, tri0)
+        _, t_best, tri_best, nx, ny, nz, menc = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), t0, tri0, z0, z0, z0, z0)
         )
         t_ref[:] = t_best
         tri_ref[:] = tri_best
+        nx_ref[:] = nx
+        ny_ref[:] = ny
+        nz_ref[:] = nz
+        me_ref[:] = menc
 
     return kernel
 
@@ -445,16 +485,18 @@ def _make_closest_kernel_frustum(leaf_k: int):
     each leaf."""
 
     def kernel(inner_ref, leaf_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-               dz_ref, act_ref, t_ref, tri_ref, stack_ref):
+               dz_ref, act_ref, t_ref, tri_ref, nx_ref, ny_ref, nz_ref, me_ref,
+               stack_ref):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         act = act_ref[:] > 0.5
         o_ivals, i_ivals = _packet_frustum(ox, oy, oz, dx, dy, dz)
         t0v = jnp.full(ox.shape, T_FAR, jnp.float32)
         tri0 = jnp.full(ox.shape, -1, jnp.int32)
+        z0 = jnp.zeros(ox.shape, jnp.float32)
         stack_ref[0] = jnp.int32(0)
 
-        def leaf_proc(leaf_idx, t_best, tri_best):
+        def leaf_proc(leaf_idx, t_best, tri_best, nx, ny, nz, menc):
             lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
             first = lrow[0, 10 * leaf_k].astype(jnp.int32)
             count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
@@ -464,13 +506,16 @@ def _make_closest_kernel_frustum(leaf_k: int):
                 better = act & h & (t < t_best) & (count > k)
                 t_best = jnp.where(better, t, t_best)
                 tri_best = jnp.where(better, first + k, tri_best)
-            return t_best, tri_best
+                nx, ny, nz, menc = _update_attrs(
+                    better, tri, lrow[0, 10 * leaf_k + 2 + k], nx, ny, nz, menc
+                )
+            return t_best, tri_best, nx, ny, nz, menc
 
         def cond(c):
             return c[0] > 0
 
         def body(c):
-            sp, t_max, t_best, tri_best = c
+            sp, t_max, t_best, tri_best, nx, ny, nz, menc = c
             sp = sp - 1
             node = stack_ref[sp]
             row = inner_ref[pl.ds(node, 1), :]
@@ -487,22 +532,23 @@ def _make_closest_kernel_frustum(leaf_k: int):
             any_leaf = hit_leaf_l | hit_leaf_r
 
             def leaves(tt):
-                t_best, tri_best, _ = tt
-                t_best, tri_best = jax.lax.cond(
+                t_best, tri_best, nx, ny, nz, menc, _ = tt
+                t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
                     hit_leaf_l, lambda uu: leaf_proc(lref, *uu),
-                    lambda uu: uu, (t_best, tri_best),
+                    lambda uu: uu, (t_best, tri_best, nx, ny, nz, menc),
                 )
-                t_best, tri_best = jax.lax.cond(
+                t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
                     hit_leaf_r, lambda uu: leaf_proc(rref, *uu),
-                    lambda uu: uu, (t_best, tri_best),
+                    lambda uu: uu, (t_best, tri_best, nx, ny, nz, menc),
                 )
                 # refresh the scalar occlusion bound inside the leaf branch
                 # only — a reduction every iteration would dominate the
                 # otherwise scalar-only internal-node path
-                return t_best, tri_best, jnp.max(t_best)
+                return t_best, tri_best, nx, ny, nz, menc, jnp.max(t_best)
 
-            t_best, tri_best, t_max = jax.lax.cond(
-                any_leaf, leaves, lambda tt: tt, (t_best, tri_best, t_max)
+            t_best, tri_best, nx, ny, nz, menc, t_max = jax.lax.cond(
+                any_leaf, leaves, lambda tt: tt,
+                (t_best, tri_best, nx, ny, nz, menc, t_max),
             )
 
             push_l = ok_l & jnp.logical_not(l_leaf)
@@ -515,13 +561,17 @@ def _make_closest_kernel_frustum(leaf_k: int):
             stack_ref[sp] = v0
             stack_ref[sp + 1] = near
             sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
-            return sp, t_max, t_best, tri_best
+            return sp, t_max, t_best, tri_best, nx, ny, nz, menc
 
-        _, _, t_best, tri_best = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), jnp.float32(T_FAR), t0v, tri0)
+        _, _, t_best, tri_best, nx, ny, nz, menc = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), jnp.float32(T_FAR), t0v, tri0, z0, z0, z0, z0)
         )
         t_ref[:] = t_best
         tri_ref[:] = tri_best
+        nx_ref[:] = nx
+        ny_ref[:] = ny
+        nz_ref[:] = nz
+        me_ref[:] = menc
 
     return kernel
 
@@ -642,6 +692,38 @@ def _grid_specs(n_ray_inputs):
     return in_specs, ray_spec
 
 
+def _decode_hit(ws, origin, direction, n_rays, t, tri, nx, ny, nz, menc):
+    """Assemble a Hit from kernel outputs: normalize the emitted cross
+    product, apply the sign-encoded orientation, decode the material id."""
+    t = t.reshape(-1)[:n_rays]
+    tri = tri.reshape(-1)[:n_rays]
+    cross = jnp.stack(
+        [nx.reshape(-1)[:n_rays], ny.reshape(-1)[:n_rays], nz.reshape(-1)[:n_rays]],
+        axis=-1,
+    )
+    menc = menc.reshape(-1)[:n_rays]
+    sign = jnp.where(menc < 0.0, -1.0, 1.0)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(cross * cross, axis=-1), 1e-40))
+    normal = cross / norm[:, None] * sign[:, None]
+    found = tri >= 0
+    mat = jnp.where(found, jnp.abs(menc).astype(jnp.int32) - 1, -1)
+    point = origin + direction * t[:, None]
+    inst = jnp.where(found, ws.tri_inst[jnp.maximum(tri, 0)], -1)
+    return Hit(
+        t=t, point=point, tri=tri, inst=inst, found=found, normal=normal,
+        mat=mat,
+    )
+
+
+def _closest_out_shapes(rows):
+    f32 = lambda: jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+    return (
+        f32(),
+        jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        f32(), f32(), f32(), f32(),
+    )
+
+
 def _run_stack_closest(kernel_maker, ws, origin, direction, active, interpret):
     n_rays = origin.shape[0]
     ox, oy, oz, dx, dy, dz, act = _ray_operands(origin, direction, active)
@@ -650,24 +732,16 @@ def _run_stack_closest(kernel_maker, ws, origin, direction, active, interpret):
     in_specs, ray_spec = _grid_specs(7)
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] + in_specs  # leaf table
     kernel = kernel_maker(ws.leaf_k)
-    t, tri = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
-        ),
+        out_shape=_closest_out_shapes(rows),
         in_specs=in_specs,
-        out_specs=(ray_spec, ray_spec),
+        out_specs=(ray_spec,) * 6,
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         interpret=interpret,
     )(ws.inner_table, ws.leaf_table, ox, oy, oz, dx, dy, dz, act)
-    t = t.reshape(-1)[:n_rays]
-    tri = tri.reshape(-1)[:n_rays]
-    found = tri >= 0
-    point = origin + direction * t[:, None]
-    inst = jnp.where(found, ws.tri_inst[jnp.maximum(tri, 0)], -1)
-    return Hit(t=t, point=point, tri=tri, inst=inst, found=found)
+    return _decode_hit(ws, origin, direction, n_rays, *outs)
 
 
 def _run_stack_shadow(
@@ -749,23 +823,15 @@ def pallas_closest_hit(
     grid = rows // PACKET_ROWS
     in_specs, ray_spec = _grid_specs(7)
     kernel = _make_closest_kernel(ws.leaf_k)
-    t, tri = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
-        ),
+        out_shape=_closest_out_shapes(rows),
         in_specs=in_specs,
-        out_specs=(ray_spec, ray_spec),
+        out_specs=(ray_spec,) * 6,
         interpret=interpret,
     )(ws.records, ox, oy, oz, dx, dy, dz, act)
-    t = t.reshape(-1)[:n_rays]
-    tri = tri.reshape(-1)[:n_rays]
-    found = tri >= 0
-    point = origin + direction * t[:, None]
-    inst = jnp.where(found, ws.tri_inst[jnp.maximum(tri, 0)], -1)
-    return Hit(t=t, point=point, tri=tri, inst=inst, found=found)
+    return _decode_hit(ws, origin, direction, n_rays, *outs)
 
 
 def pallas_shadow_walk(

@@ -38,13 +38,18 @@ from .intersect import T_FAR, face_normal, moller_trumbore, slab_test
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Hit:
-    """Closest-hit record for a wave of rays."""
+    """Closest-hit record for a wave of rays, carrying shading attributes so
+    no post-traversal geometry gathers are needed (the Pallas kernels emit
+    them straight from the winning leaf row)."""
 
     t: jax.Array  # (R,) world-space distance, T_FAR if none
     point: jax.Array  # (R, 3) world-space hit point
     tri: jax.Array  # (R,) global triangle index, -1 if none
     inst: jax.Array  # (R,) instance index, -1 if none
     found: jax.Array  # (R,) bool
+    normal: jax.Array  # (R, 3) unit world geometric normal (orientation-
+    # corrected for mirrored instances; unflipped toward the ray, glsl:411)
+    mat: jax.Array  # (R,) material index, -1 if none
 
     @property
     def num_rays(self) -> int:
@@ -164,10 +169,23 @@ def traverse_world(
         return cur, t_best, tri_best
 
     _, t_best, tri_best = jax.lax.while_loop(cond, body, (cur0, t0, tri0))
+    return _resolve_hit(ws, origin, direction, t_best, tri_best)
+
+
+def _resolve_hit(ws: WorldArrays, origin, direction, t_best, tri_best) -> Hit:
+    """Fill a Hit from (t, winning tri): point, instance, oriented normal,
+    material — one batch of row gathers at wave end (XLA paths only; the
+    Pallas kernels emit these attributes directly)."""
     found = tri_best >= 0
     point = origin + direction * t_best[:, None]
-    inst = jnp.where(found, ws.tri_inst[jnp.maximum(tri_best, 0)], -1)
-    return Hit(t=t_best, point=point, tri=tri_best, inst=inst, found=found)
+    tid = jnp.maximum(tri_best, 0)
+    inst = jnp.where(found, ws.tri_inst[tid], -1)
+    n = face_normal(ws.tri_e1[tid], ws.tri_e2[tid]) * ws.tri_nsign[tid][:, None]
+    mat = jnp.where(found, ws.tri_mat[tid], -1)
+    return Hit(
+        t=t_best, point=point, tri=tri_best, inst=inst, found=found,
+        normal=n, mat=mat,
+    )
 
 
 def shadow_walk(
@@ -262,21 +280,14 @@ def shadow_brute(
 
 
 def hit_shading_data(ws: WorldArrays, hit: Hit):
-    """Resolve the winning triangle into (world normal, material row, mat idx).
-
-    Geometry is already world-space, so the normal is the normalized geometric
-    cross product times the owning instance's orientation sign — exactly the
-    reference's inverse-transpose transform of the object-space normal
-    (glsl:489-490), mirrored instances included; NOT flipped toward the ray
-    (glsl:411)."""
-    tid = jnp.maximum(hit.tri, 0)
-    n_world = face_normal(ws.tri_e1[tid], ws.tri_e2[tid])
-    # mirrored instances (det < 0) flip the world cross product; the sign
-    # restores the reference's inverse-transpose orientation (glsl:489-490)
-    n_world = n_world * ws.tri_nsign[tid][:, None]
-    mat_idx = ws.tri_mat[tid]
+    """(world normal, material row, mat idx) for a resolved Hit. The normal is
+    the oriented geometric normal — exactly the reference's inverse-transpose
+    rule (glsl:489-490), mirrored instances included; NOT flipped toward the
+    ray (glsl:411). Only the material-row lookup gathers here; the geometric
+    attributes ride on the Hit."""
+    mat_idx = jnp.maximum(hit.mat, 0)
     material = ws.materials[mat_idx]  # (R, 8)
-    return n_world, material, mat_idx
+    return hit.normal, material, mat_idx
 
 
 def brute_force_world(ws: WorldArrays, origin, direction, active) -> Hit:
@@ -297,9 +308,7 @@ def brute_force_world(ws: WorldArrays, origin, direction, active) -> Hit:
     found = active & (t_best < T_FAR)
     t_best = jnp.where(found, t_best, T_FAR)
     tri = jnp.where(found, k, -1)
-    point = origin + direction * t_best[:, None]
-    inst = jnp.where(found, ws.tri_inst[jnp.maximum(tri, 0)], -1)
-    return Hit(t=t_best, point=point, tri=tri, inst=inst, found=found)
+    return _resolve_hit(ws, origin, direction, t_best, tri)
 
 
 # -- SceneArrays-level conveniences (tests, interactive use) -----------------

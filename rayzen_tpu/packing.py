@@ -532,8 +532,13 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
     tri_mat = arrays.tri_mat[src]
     wtri_transp = arrays.materials[tri_mat, 6]  # TRANSPARENCY column
     transp_block = wtri_transp[arrays.node_leaf_tri]  # (Nu, K)
+    # per-leaf-triangle material id, sign-encoding the instance orientation:
+    # enc = (mat + 1) * nsign — lets closest-hit kernels emit shading
+    # attributes directly (no post-traversal gathers)
+    wtri_mat_enc = (tri_mat.astype(jnp.float32) + 1.0) * tri_nsign
+    mat_block = wtri_mat_enc[arrays.node_leaf_tri]  # (Nu, K)
     records = jnp.concatenate(
-        [node_bounds, meta_f, leaf_block, transp_block], axis=1
+        [node_bounds, meta_f, leaf_block, transp_block, mat_block], axis=1
     )
     pad = (-records.shape[1]) % 8
     if pad:
@@ -558,8 +563,9 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
     leaf_transp = transp_block[leaf_nodes]  # (L, K)
     leaf_first = arrays.uni_meta[leaf_nodes, 0].astype(jnp.float32)[:, None]
     leaf_count = arrays.uni_meta[leaf_nodes, 1].astype(jnp.float32)[:, None]
+    leaf_mat = mat_block[leaf_nodes]  # (L, K)
     leaf_table = jnp.concatenate(
-        [leaf_tri_block, leaf_transp, leaf_first, leaf_count], axis=1
+        [leaf_tri_block, leaf_transp, leaf_first, leaf_count, leaf_mat], axis=1
     )
     pad2 = (-leaf_table.shape[1]) % 8
     if pad2:
