@@ -279,15 +279,28 @@ def shadow_brute(
     return vis, rays
 
 
+def material_rows(ws: WorldArrays, mat_idx):
+    """(R, 8) material rows for per-ray indices. For small tables (the normal
+    case) this unrolls a select chain over the static material list instead of
+    issuing a gather — gather results of narrow rows are laid out with the
+    minor dim padded to 128 on TPU (16x bandwidth), while the select chain
+    fuses into the surrounding elementwise work."""
+    n_mats = int(ws.materials.shape[0])
+    if n_mats > 32:
+        return ws.materials[mat_idx]
+    row = jnp.zeros((mat_idx.shape[0], ws.materials.shape[1]), jnp.float32)
+    for m in range(n_mats):
+        row = jnp.where((mat_idx == m)[:, None], ws.materials[m], row)
+    return row
+
+
 def hit_shading_data(ws: WorldArrays, hit: Hit):
     """(world normal, material row, mat idx) for a resolved Hit. The normal is
     the oriented geometric normal — exactly the reference's inverse-transpose
     rule (glsl:489-490), mirrored instances included; NOT flipped toward the
-    ray (glsl:411). Only the material-row lookup gathers here; the geometric
-    attributes ride on the Hit."""
+    ray (glsl:411). The geometric attributes ride on the Hit."""
     mat_idx = jnp.maximum(hit.mat, 0)
-    material = ws.materials[mat_idx]  # (R, 8)
-    return hit.normal, material, mat_idx
+    return hit.normal, material_rows(ws, mat_idx), mat_idx
 
 
 def brute_force_world(ws: WorldArrays, origin, direction, active) -> Hit:
