@@ -26,7 +26,12 @@ def main() -> int:
     from rayzen_tpu.integrator import render_radiance_with_stats
     from rayzen_tpu.packing import pack_scene
 
-    setup_compile_cache(".rayzen_cache/xla")  # warm-start repeat runs
+    import os
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".rayzen_cache", "xla"
+    )
+    setup_compile_cache(cache_dir)  # warm-start repeat runs (CWD-independent)
     width, height = 1920, 1080
     spp = 8  # samples accumulate on device in one dispatch (lax.fori_loop), so
     # per-dispatch transport overhead (~0.6 s fixed on the tunneled v5e
