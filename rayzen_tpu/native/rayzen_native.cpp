@@ -309,40 +309,56 @@ struct ObjData {
 };
 
 void* rz_obj_parse(const char* path) {
-  std::ifstream file(path);
-  if (!file.is_open()) return nullptr;
-  auto* out = new ObjData();
-  std::vector<Vec3> positions;
-  std::string line;
-  std::vector<int64_t> face;
-  while (std::getline(file, line)) {
-    if (line.rfind("v ", 0) == 0) {
-      std::istringstream iss(line.substr(2));
-      Vec3 v{0, 0, 0};
-      iss >> v.x >> v.y >> v.z;
-      positions.push_back(v);
-    } else if (line.rfind("f ", 0) == 0) {
-      std::istringstream iss(line.substr(2));
-      face.clear();
-      std::string token;
-      while (iss >> token) {
-        const size_t slash = token.find('/');
-        const std::string head =
-            slash == std::string::npos ? token : token.substr(0, slash);
-        face.push_back(std::stol(head));
-      }
-      if (face.size() >= 3) {
+  // Skip-and-log semantics matching the Python parser (mesh.py parse_obj):
+  // malformed tokens or out-of-range face indices drop the face, never crash.
+  // Nothing may throw across the extern "C" / ctypes boundary.
+  try {
+    std::ifstream file(path);
+    if (!file.is_open()) return nullptr;
+    auto* out = new ObjData();
+    std::vector<Vec3> positions;
+    std::string line;
+    std::vector<int64_t> face;
+    while (std::getline(file, line)) {
+      if (line.rfind("v ", 0) == 0) {
+        std::istringstream iss(line.substr(2));
+        Vec3 v{0, 0, 0};
+        if (iss >> v.x >> v.y >> v.z) positions.push_back(v);
+      } else if (line.rfind("f ", 0) == 0) {
+        std::istringstream iss(line.substr(2));
+        face.clear();
+        std::string token;
+        bool ok = true;
+        while (iss >> token) {
+          const size_t slash = token.find('/');
+          const std::string head =
+              slash == std::string::npos ? token : token.substr(0, slash);
+          try {
+            face.push_back(std::stol(head));
+          } catch (const std::exception&) {
+            ok = false;
+            break;
+          }
+        }
+        if (!ok || face.size() < 3) continue;
         for (size_t i = 1; i + 1 < face.size(); ++i) {
-          const Vec3& a = positions[face[0] - 1];
-          const Vec3& b = positions[face[i] - 1];
-          const Vec3& c = positions[face[i + 1] - 1];
+          const int64_t ia = face[0], ib = face[i], ic = face[i + 1];
+          const int64_t n = (int64_t)positions.size();
+          // 1-based indices (Mesh.cpp:38-46); validate before dereferencing
+          if (ia < 1 || ia > n || ib < 1 || ib > n || ic < 1 || ic > n)
+            continue;
+          const Vec3& a = positions[ia - 1];
+          const Vec3& b = positions[ib - 1];
+          const Vec3& c = positions[ic - 1];
           const float tri[9] = {a.x, a.y, a.z, b.x, b.y, b.z, c.x, c.y, c.z};
           out->verts.insert(out->verts.end(), tri, tri + 9);
         }
       }
     }
+    return out;
+  } catch (...) {
+    return nullptr;  // caller falls back to the Python parser
   }
-  return out;
 }
 
 int64_t rz_obj_num_triangles(void* handle) {

@@ -197,7 +197,10 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         root_bmin = np.full((1, 3), np.finfo(np.float32).max, dtype=np.float32)
         root_bmax = -root_bmin
 
-    uni = _build_unified(instance_meta, node_meta, transforms, root_bmin, root_bmax)
+    uni = _build_unified(
+        instance_meta, node_meta, transforms, root_bmin, root_bmax,
+        leaf_k=cfg.leaf_size,
+    )
 
     total_tris = sum(m.num_triangles for m in instance_meta)
     log.info(
@@ -234,7 +237,9 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
     )
 
 
-def _build_unified(instance_meta, node_meta, transforms, root_bmin, root_bmax):
+def _build_unified(
+    instance_meta, node_meta, transforms, root_bmin, root_bmax, leaf_k: int = 4
+):
     """Stitch TLAS + per-instance BLAS copies into one threaded tree (host,
     build-time; numpy). See SceneArrays field docs for the layout.
 
@@ -247,7 +252,9 @@ def _build_unified(instance_meta, node_meta, transforms, root_bmin, root_bmax):
     n_inst = len(instance_meta)
     nonempty = [i for i, m in enumerate(instance_meta) if m.num_triangles > 0]
 
-    leaf_k = 4  # leaf size cap inlined into node records (BVH.cpp:115)
+    # leaf_k = records-inlined triangles per leaf; must cover cfg.leaf_size
+    # (the builders never emit leaves bigger than that) so no leaf triangle is
+    # silently dropped from the inlined tables. Reference leaf cap: BVH.cpp:115.
 
     if not nonempty:
         out = dict(
@@ -338,6 +345,11 @@ def _build_unified(instance_meta, node_meta, transforms, root_bmin, root_bmax):
             if count < 0:  # internal
                 uni_meta[off + k] = (off + int(left_first), -1, new_miss)
             else:  # leaf: first indexes the world-triangle array
+                if int(count) > leaf_k:
+                    raise ValueError(
+                        f"BVH leaf with {int(count)} triangles exceeds the "
+                        f"inlined leaf capacity {leaf_k} (cfg.leaf_size)"
+                    )
                 first = wtri_off[i] + int(left_first)
                 uni_meta[off + k] = (first, int(count), new_miss)
                 for c in range(min(int(count), leaf_k)):

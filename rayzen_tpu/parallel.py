@@ -57,9 +57,12 @@ def render_radiance_sharded(
     max_bounces: Optional[int] = None,
     tracer: str = "bvh",
     rng_key: int = 0,
+    with_stats: bool = False,
 ):
     """Full-frame render with the ray axis sharded over ``mesh``. Returns the
-    (H, W, 3) frame (replicated). Wrap in jit with the mesh in scope."""
+    (H, W, 3) frame (replicated), plus the aggregate traced-ray count (an ICI
+    psum over chips — honest Mrays/s for sharded renders) when ``with_stats``.
+    Wrap in jit with the mesh in scope."""
     width, height = cfg.width, cfg.height
     n_dev = mesh.devices.size
     frag, uv = camera_rays.pixel_grid(width, height)
@@ -73,7 +76,7 @@ def render_radiance_sharded(
     active = _pad_to_multiple(jnp.ones((n_rays,), dtype=bool), n_dev)
 
     def tile_fn(arrays_rep, cam_rep, frag_sh, uv_sh, active_sh):
-        return render_rays(
+        color, rays = render_rays(
             arrays_rep,
             frag_sh,
             uv_sh,
@@ -83,19 +86,28 @@ def render_radiance_sharded(
             tracer=tracer,
             rng_key=rng_key,
             active=active_sh,
+            with_stats=True,
         )
+        return color, jax.lax.psum(rays, AXIS)
 
-    color = jax.shard_map(
+    # check_vma=False: pallas_call out_shapes carry no varying-axis metadata,
+    # so the vma checker rejects kernels inside shard_map; collectives here are
+    # explicit (one psum) and every other output is per-shard by construction.
+    color, rays = jax.shard_map(
         tile_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=P(AXIS),
+        out_specs=(P(AXIS), P()),
+        check_vma=False,
     )(arrays, camera_params, frag_p, uv_p, active)
 
     color = color[:n_rays]
     if inv is not None:
         color = color[inv]
-    return color.reshape(height, width, 3)
+    color = color.reshape(height, width, 3)
+    if with_stats:
+        return color, rays
+    return color
 
 
 def jit_sharded_renderer(arrays, cfg: RenderConfig, mesh: Mesh, **kw):

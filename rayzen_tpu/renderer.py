@@ -91,14 +91,15 @@ class Renderer:
         else:
 
             def _full(arrays, cam, key):
-                img = render_radiance_sharded(arrays, cam, cfg, mesh, rng_key=key)
-                return img, jnp.int32(0)
+                return render_radiance_sharded(
+                    arrays, cam, cfg, mesh, rng_key=key, with_stats=True
+                )
 
             def _first(arrays, cam, key):
-                img = render_radiance_sharded(
-                    arrays, cam, cfg, mesh, max_bounces=first_bounces, rng_key=key
+                return render_radiance_sharded(
+                    arrays, cam, cfg, mesh, max_bounces=first_bounces,
+                    rng_key=key, with_stats=True,
                 )
-                return img, jnp.int32(0)
 
         self._render_full = jax.jit(_full)
         self._render_first = jax.jit(_first)
@@ -107,6 +108,7 @@ class Renderer:
 
         # async path-tracer compile with preview fallback (main.cpp:273-305)
         self._pt_ready = threading.Event()
+        self._pt_failed = False
         if async_compile and not cfg.path_tracer_only:
             self._compile_thread = threading.Thread(
                 target=self._compile_path_tracer, daemon=True
@@ -133,14 +135,22 @@ class Renderer:
             self._render_first.lower(self.arrays, cam, key).compile()
             self._render_full.lower(self.arrays, cam, key).compile()
             t.step("Path tracer XLA compile")
-            self._pt_ready.set()
         except Exception as e:  # stay in preview mode, like the reference's
             # editor fallback on a failed async shader compile (main.cpp:425-429)
+            self._pt_failed = True
             log.error(f"Path tracer compile failed; staying in preview mode: {e}")
+        finally:
+            # ALWAYS release waiters (warmup blocks on this event); failure is
+            # signalled separately so path_tracer_ready stays false
+            self._pt_ready.set()
 
     @property
     def path_tracer_ready(self) -> bool:
-        return self._pt_ready.is_set()
+        return self._pt_ready.is_set() and not self._pt_failed
+
+    @property
+    def path_tracer_failed(self) -> bool:
+        return self._pt_failed
 
     def close(self) -> None:
         """Join the background compile thread (call before interpreter exit if
@@ -201,7 +211,11 @@ class Renderer:
                 img = self._preview(self.arrays, cam)
                 img.block_until_ready()
         else:
-            fn = self._render_first if self.frame_index == 0 else self._render_full
+            # frame 0's reduced bounce budget (main.cpp:600) is a latency trick;
+            # folding that darker frame into a progressive average would bias it
+            # permanently, so accumulation always renders at full bounces
+            use_first = self.frame_index == 0 and not cfg.accumulate
+            fn = self._render_first if use_first else self._render_full
             # a fresh key per frame keeps accumulation converging; harmless
             # otherwise (traced input, no recompilation)
             key = jnp.uint32(self.frame_index if cfg.accumulate else 0)
@@ -234,9 +248,15 @@ class Renderer:
 
     def warmup(self, frames: int) -> None:
         """Pre-warm compile + execution without readback (runPathTracerWarmup,
-        main.cpp:1324-1354: hidden frames with glFinish)."""
+        main.cpp:1324-1354: hidden frames with glFinish). If the path-tracer
+        compile failed, warms the preview program instead of hanging (the
+        reference's editor-mode fallback, main.cpp:425-429)."""
         cam = self._camera_params()
         self._pt_ready.wait()
+        if self._pt_failed:
+            for _ in range(frames):
+                self._preview(self.arrays, cam).block_until_ready()
+            return
         for i in range(frames):
             fn = self._render_first if i == 0 else self._render_full
             img, _ = fn(self.arrays, cam, jnp.uint32(0))

@@ -44,10 +44,14 @@ class Scene:
         return sum(go.mesh.num_triangles for go in self.game_objects)
 
     def geometry_hash(self) -> str:
-        """Content hash of meshes + materials (not transforms): keys the BVH/scene
-        disk cache. The reference invalidated its SSBO cache on object *count*
-        only (main.cpp:930-938) — SURVEY.md §7 flags that as a bug to fix with
-        content hashing, which this is."""
+        """Content hash of meshes + materials + lights (not transforms): keys
+        the BVH/scene disk cache. The reference invalidated its SSBO cache on
+        object *count* only (main.cpp:930-938) — SURVEY.md §7 flags that as a
+        bug to fix with content hashing, which this is. Lights are included
+        because the packed lights array is restored from the cache NPZ; only
+        transforms are refreshed from the live scene after a hit."""
+        from .light import pack_lights
+
         h = hashlib.sha256()
         for go in self.game_objects:
             h.update(np.int64(go.mesh.num_triangles).tobytes())
@@ -55,6 +59,7 @@ class Scene:
             h.update(go.mesh.material_index.tobytes())
         for m in self.materials:
             h.update(m.packed().tobytes())
+        h.update(pack_lights(self.lights).tobytes())
         return h.hexdigest()[:16]
 
     def transforms(self) -> np.ndarray:

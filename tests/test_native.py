@@ -77,3 +77,22 @@ class TestObjParity:
         )
         verts = native.parse_obj_file(str(p))
         assert verts.shape == (2, 3, 3)  # fan-triangulated quad
+
+    def test_out_of_range_indices_skipped(self, tmp_path):
+        # faces referencing missing positions are dropped, matching the
+        # Python parser's skip-and-log semantics (no UB, no crash)
+        p = tmp_path / "bad.obj"
+        p.write_text(
+            "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+            "f 1 2 9\n"      # out of range
+            "f 0 1 2\n"      # zero (invalid 1-based)
+            "f -1 2 3\n"     # negative
+            "f 1 2 3\n"      # valid
+            "f 1 notanint 3\n"  # malformed token
+        )
+        verts = native.parse_obj_file(str(p))
+        assert verts is not None and verts.shape == (1, 3, 3)
+        from rayzen_tpu.mesh import parse_obj
+
+        py = parse_obj(p.read_text())
+        np.testing.assert_allclose(verts, py.vertices, rtol=0, atol=0)

@@ -57,3 +57,30 @@ def test_sharded_under_jit(small_scene, cfg, small_camera, small_arrays):
     d = np.abs(out - single)
     assert d.mean() < 0.01
     assert (d.max(axis=-1) > 0.05).mean() < 0.05
+
+
+def test_sharded_ray_stats(small_scene, cfg, small_camera, small_arrays):
+    # the sharded path must report REAL aggregate ray counts (psum over chips),
+    # equal to the single-device count for the identical computation
+    from rayzen_tpu.integrator import render_radiance_with_stats
+
+    _, rays_single = render_radiance_with_stats(small_arrays, small_camera, cfg)
+    img, rays_sharded = render_radiance_sharded(
+        small_arrays, small_camera, cfg, make_mesh(8), with_stats=True
+    )
+    assert int(rays_sharded) > 0
+    assert int(rays_sharded) == int(rays_single)
+
+
+def test_pallas_interpret_inside_shard_map(small_scene, small_camera, small_arrays):
+    # the deployment config is Pallas kernels under shard_map; run the kernels
+    # (interpret mode on CPU) inside the 8-device mesh and match the XLA path
+    cfg_x = RenderConfig(width=32, height=16, spp=1, max_bounces=2, kernels="xla")
+    cfg_p = cfg_x.replace(kernels="pallas-bvh2")
+    base = np.asarray(
+        render_radiance_sharded(small_arrays, small_camera, cfg_x, make_mesh(8))
+    )
+    kern = np.asarray(
+        render_radiance_sharded(small_arrays, small_camera, cfg_p, make_mesh(8))
+    )
+    assert np.abs(kern - base).max() < 1e-5

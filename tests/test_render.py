@@ -248,3 +248,19 @@ class TestSky:
         down = sky_color(jnp.asarray([[0.0, -1.0, 0.0]]), cfg)
         assert np.allclose(np.asarray(up)[0], cfg.sky_zenith, atol=1e-6)
         assert np.allclose(np.asarray(down)[0], cfg.sky_horizon, atol=1e-6)
+
+
+class TestLeafSize:
+    @pytest.mark.parametrize("kernels", ["xla", "pallas-bvh2"])
+    def test_leaf_size_8_matches_brute(self, small_scene, kernels):
+        # leaf_size is a documented knob; inlined leaf tables must carry ALL
+        # leaf triangles, not just the first 4 (regression: advisor r1)
+        cfg = RenderConfig(
+            width=48, height=32, spp=1, max_bounces=3, leaf_size=8,
+            kernels=kernels,
+        )
+        arrays = pack_scene(small_scene, cfg)
+        cam = cam_params(small_scene)
+        img = np.asarray(render_radiance(arrays, cam, cfg))
+        ref = np.asarray(render_radiance(arrays, cam, cfg, tracer="brute"))
+        assert np.abs(img - ref).max() < 1e-5

@@ -230,3 +230,36 @@ class TestCli:
         )
         assert rc == 0
         assert os.path.exists(out)
+
+
+class TestCompileFailure:
+    def test_compile_failure_falls_back_to_preview(self, tiny_cfg, monkeypatch):
+        # a failing path-tracer compile must not deadlock warmup/__init__
+        # (reference analog: editor-mode fallback, main.cpp:425-429)
+        import rayzen_tpu.renderer as renderer_mod
+
+        def boom(*a, **k):
+            raise RuntimeError("injected compile failure")
+
+        monkeypatch.setattr(renderer_mod, "render_radiance_with_stats", boom)
+        scene = build_small_scene(tiny_cfg.width, tiny_cfg.height)
+        cfg = tiny_cfg.replace(warmup_frames=1)
+        r = Renderer(scene, cfg, async_compile=True, use_cache=False)
+        assert r.path_tracer_failed
+        assert not r.path_tracer_ready
+        img = r.render_frame()  # auto mode serves the preview
+        assert img.shape == (cfg.height, cfg.width, 3)
+        assert np.isfinite(img).all()
+        r.close()
+
+
+class TestAccumulateFrameZero:
+    def test_frame0_uses_full_bounces(self, tiny_cfg):
+        # frame 0 must not seed the accumulator with the reduced-bounce render
+        cfg = tiny_cfg.replace(accumulate=True, spp=1)
+        scene = build_small_scene(cfg.width, cfg.height)
+        r = Renderer(scene, cfg, async_compile=False, use_cache=False)
+        f0 = r.render_frame()
+        # reference image: the full-bounce render with the same rng key (0)
+        full, _ = r._render_full(r.arrays, r._camera_params(), jnp.uint32(0))
+        np.testing.assert_allclose(f0, np.asarray(full), atol=1e-6)

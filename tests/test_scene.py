@@ -215,3 +215,23 @@ class TestLightsMaterials:
 
     def test_pack_empty(self):
         assert pack_materials([]).shape == (1, 8)
+
+
+class TestSceneHash:
+    def test_lights_change_hash(self):
+        from rayzen_tpu.demo import build_small_scene
+        from rayzen_tpu.light import Light
+
+        s = build_small_scene(8, 8)
+        h0 = s.geometry_hash()
+        s.lights[0] = Light.point((9.0, 9.0, 9.0), (1.0, 0.5, 0.5), 10.0)
+        assert s.geometry_hash() != h0
+
+    def test_transforms_do_not_change_hash(self):
+        from rayzen_tpu.demo import build_small_scene
+
+        s = build_small_scene(8, 8)
+        h0 = s.geometry_hash()
+        s.game_objects[0].transform = s.game_objects[0].transform.copy()
+        s.game_objects[0].transform[0, 3] += 5.0
+        assert s.geometry_hash() == h0
