@@ -28,10 +28,42 @@ def main() -> int:
 
     import os
 
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".rayzen_cache", "xla"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache_dir = os.path.join(here, ".rayzen_cache", "xla")
     setup_compile_cache(cache_dir)  # warm-start repeat runs (CWD-independent)
+
+    # ---- correctness gate (VERDICT r1 #2): before timing anything, the TPU
+    # kernels must reproduce the CPU brute-force golden of the demo scene.
+    # A fast wrong image must never produce a benchmark number.
+    from rayzen_tpu.image_io import ssim
+
+    gw, gh = 256, 192
+    gate_cfg = RenderConfig(width=gw, height=gh, spp=1, max_bounces=5)
+    gate_scene = build_demo_scene(gw, gh)
+    gate_arrays = pack_scene(gate_scene, gate_cfg)
+    gate_cam = {
+        k: jax.numpy.asarray(v)
+        for k, v in gate_scene.camera.device_params().items()
+    }
+    golden = np.load(os.path.join(here, "tests", "golden", "demo_256x192.npz"))[
+        "image"
+    ].astype(np.float32)
+    gate_img = np.asarray(
+        jax.jit(
+            lambda a, c: render_radiance_with_stats(a, c, gate_cfg)
+        )(gate_arrays, gate_cam)[0]
+    )
+    gate_ssim = ssim(gate_img, golden)
+    print(f"# correctness gate: SSIM {gate_ssim:.4f} vs CPU golden (256x192)",
+          file=sys.stderr)
+    if gate_ssim < 0.98:
+        print(
+            f"BENCH REFUSED: on-TPU render SSIM {gate_ssim:.4f} < 0.98 vs "
+            "tests/golden/demo_256x192.npz — fix correctness first",
+            file=sys.stderr,
+        )
+        return 1
+
     width, height = 1920, 1080
     spp = 8  # samples accumulate on device in one dispatch (lax.fori_loop), so
     # per-dispatch transport overhead (~0.6 s fixed on the tunneled v5e

@@ -30,6 +30,7 @@ from .scene import Scene
 _ARRAY_FIELDS = [
     "tri_v0", "tri_e1", "tri_e2", "tri_mat", "node_bounds", "node_meta",
     "transforms", "inv_transforms", "root_bmin", "root_bmax",
+    "inst_mat_override",
     "uni_meta", "blas_src", "blas_inst", "tlas_mask", "wtri_src", "wtri_inst",
     "node_leaf_tri",
     "bvh2_child_node", "bvh2_child_ref", "bvh2_child_count", "bvh2_leaf_node",

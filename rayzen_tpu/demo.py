@@ -7,11 +7,14 @@ monkeys (one mirror, one glass), a cube-slot object whose mesh fails to load in
 the reference (missing car.obj — kept here as an intentionally empty mesh to
 preserve that robustness path), and a glass monkey.
 
-Geometry is procedural (self-contained repo): the reference's cube.obj is a unit
-cube (identical topology) and Suzanne stands in as a deformed icosphere with a
-similar triangle count (~1.3k vs 968). Pass ``obj_dir`` to load real cube.obj /
-monkey.obj / car.obj assets instead, exercising the OBJ loader exactly like the
-reference does.
+Geometry defaults to the reference's actual OBJ assets (assets/meshes: the
+8-vertex cube and the 968-face Suzanne, loaded through the OBJ parser exactly
+like the reference does at main.cpp:368-374). Unlike the reference — which
+re-loads monkey.obj per GameObject just to stamp a different material — the
+five Suzannes share ONE Mesh (one BLAS build) and recolor via
+GameObject.material_override. Pass ``obj_dir`` to load assets from elsewhere;
+pass ``obj_dir=""`` (or delete the assets) to fall back to procedural stand-in
+geometry (a deformed icosphere "blob" of similar triangle count).
 """
 
 from __future__ import annotations
@@ -61,44 +64,49 @@ def demo_camera(width: int = 800, height: int = 600) -> Camera:
     )
 
 
-def _load_or(proc_fn, obj_dir, obj_name, material_index):
-    if obj_dir:
-        return Mesh.load_from_obj(os.path.join(obj_dir, obj_name), material_index)
-    return proc_fn(material_index)
+ASSET_DIR = os.path.normpath(
+    os.path.join(os.path.dirname(__file__), "..", "assets", "meshes")
+)
+
+
+def default_obj_dir() -> str | None:
+    """The checked-in reference mesh assets, if present."""
+    if os.path.exists(os.path.join(ASSET_DIR, "monkey.obj")):
+        return ASSET_DIR
+    return None
 
 
 def build_demo_scene(
     width: int = 800, height: int = 600, obj_dir: str | None = None
 ) -> Scene:
+    if obj_dir is None:
+        obj_dir = default_obj_dir()
     scene = Scene()
     scene.camera = demo_camera(width, height)
     scene.materials = demo_materials()
     scene.lights = demo_lights()
 
-    monkey = lambda m: procedural.blob(m, subdivisions=3)
-    floor_mesh = _load_or(procedural.cube, obj_dir, "cube.obj", 0)
-    monkey_a = _load_or(monkey, obj_dir, "monkey.obj", 1)
-    monkey_b = _load_or(monkey, obj_dir, "monkey.obj", 2)
-    # "car.obj" is missing in the reference checkout; the loader returns an
-    # empty mesh and the scene keeps the instance (main.cpp:371, :183-188).
-    car = (
-        Mesh.load_from_obj(os.path.join(obj_dir, "car.obj"), 0)
-        if obj_dir
-        else Mesh()
-    )
-    monkey_c = _load_or(monkey, obj_dir, "monkey.obj", 0)
-    monkey_d = _load_or(monkey, obj_dir, "monkey.obj", 0)
-    glass_monkey = _load_or(monkey, obj_dir, "monkey.obj", 3)
+    if obj_dir:
+        floor_mesh = Mesh.load_from_obj(os.path.join(obj_dir, "cube.obj"), 0)
+        monkey_mesh = Mesh.load_from_obj(os.path.join(obj_dir, "monkey.obj"), 0)
+        # "car.obj" is missing in the reference checkout; the loader returns an
+        # empty mesh and the scene keeps the instance (main.cpp:371, :183-188)
+        car = Mesh.load_from_obj(os.path.join(obj_dir, "car.obj"), 0)
+    else:  # procedural fallback (self-contained, similar triangle counts)
+        floor_mesh = procedural.cube(0)
+        monkey_mesh = procedural.blob(0, subdivisions=3)
+        car = Mesh()
 
     go = scene.game_objects.append
-    # main.cpp:380-386 (glm::translate(glm::scale(...)) post-multiplies)
-    go(GameObject(floor_mesh, tf.translate(tf.scale(tf.identity(), (8.0, 0.5, 8.0)), (0.0, -3.0, 0.0)), "floor"))
-    go(GameObject(monkey_a, tf.translate(tf.identity(), (-4.0, 0.0, 0.0)), "monkey A"))
-    go(GameObject(monkey_b, tf.translate(tf.identity(), (4.0, 0.0, 0.0)), "monkey B"))
+    # main.cpp:380-386 (glm::translate(glm::scale(...)) post-multiplies);
+    # materials per object from main.cpp:368-374, as instance overrides
+    go(GameObject(floor_mesh, tf.translate(tf.scale(tf.identity(), (8.0, 0.5, 8.0)), (0.0, -3.0, 0.0)), "floor", material_override=0))
+    go(GameObject(monkey_mesh, tf.translate(tf.identity(), (-4.0, 0.0, 0.0)), "monkey A", material_override=1))
+    go(GameObject(monkey_mesh, tf.translate(tf.identity(), (4.0, 0.0, 0.0)), "monkey B", material_override=2))
     go(GameObject(car, tf.translate(tf.identity(), (0.0, 0.0, 0.0)), "car"))
-    go(GameObject(monkey_c, tf.translate(tf.identity(), (0.0, 0.0, -4.0)), "monkey C"))
-    go(GameObject(monkey_d, tf.translate(tf.identity(), (0.0, 0.0, 4.0)), "monkey D"))
-    go(GameObject(glass_monkey, tf.translate(tf.scale(tf.identity(), 1.2), (2.5, 0.8, 2.5)), "glass monkey"))
+    go(GameObject(monkey_mesh, tf.translate(tf.identity(), (0.0, 0.0, -4.0)), "monkey C", material_override=0))
+    go(GameObject(monkey_mesh, tf.translate(tf.identity(), (0.0, 0.0, 4.0)), "monkey D", material_override=0))
+    go(GameObject(monkey_mesh, tf.translate(tf.scale(tf.identity(), 1.2), (2.5, 0.8, 2.5)), "glass monkey", material_override=3))
     return scene
 
 

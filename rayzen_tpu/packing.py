@@ -69,6 +69,8 @@ class SceneArrays:
     inv_transforms: jax.Array  # (I, 4, 4) f32
     root_bmin: jax.Array  # (I, 3) f32 object-space BLAS root bounds
     root_bmax: jax.Array  # (I, 3) f32
+    inst_mat_override: jax.Array  # (I,) i32 — per-instance material override,
+    # -1 keeps the mesh's per-triangle materials (GameObject.material_override)
     # ---- unified world-space BVH (static topology, device-refit bounds) ----
     # The TLAS and every instance's BLAS are stitched into ONE threaded tree:
     # TLAS leaves point at their instance's BLAS root, and BLAS escape links
@@ -166,6 +168,7 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
     instance_meta = []
     transforms = []
     root_bmin, root_bmax = [], []
+    mat_override = []
     for go in scene.game_objects:
         slot = mesh_slot[id(go.mesh)]
         n_off, t_off, n_nodes, n_tris = mesh_layout[slot]
@@ -173,6 +176,7 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         transforms.append(go.transform)
         root_bmin.append(bounds_list[slot][0, :3])
         root_bmax.append(bounds_list[slot][0, 3:])
+        mat_override.append(getattr(go, "material_override", -1))
 
     def cat(parts, empty_shape, dtype):
         if not parts or sum(p.shape[0] for p in parts) == 0:
@@ -191,11 +195,13 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         inv_transforms = np.linalg.inv(transforms.astype(np.float64)).astype(np.float32)
         root_bmin = np.stack(root_bmin).astype(np.float32)
         root_bmax = np.stack(root_bmax).astype(np.float32)
+        mat_override = np.asarray(mat_override, dtype=np.int32)
     else:
         transforms = np.eye(4, dtype=np.float32)[None]
         inv_transforms = transforms.copy()
         root_bmin = np.full((1, 3), np.finfo(np.float32).max, dtype=np.float32)
         root_bmax = -root_bmin
+        mat_override = np.full((1,), -1, dtype=np.int32)
 
     uni = _build_unified(
         instance_meta, node_meta, transforms, root_bmin, root_bmax,
@@ -231,6 +237,7 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         inv_transforms=jnp.asarray(inv_transforms),
         root_bmin=jnp.asarray(root_bmin),
         root_bmax=jnp.asarray(root_bmax),
+        inst_mat_override=jnp.asarray(mat_override),
         materials=jnp.asarray(pack_materials(scene.materials)),
         lights=jnp.asarray(pack_lights(scene.lights)),
         instance_meta=tuple(instance_meta),
@@ -541,7 +548,9 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
     # per-leaf-triangle transparency (0 for opaque): lets the shadow kernels
     # accumulate transmission without a material lookup (shadowVisibility
     # semantics, glsl:517-523)
-    tri_mat = arrays.tri_mat[src]
+    # per-instance material override (-1 = keep the mesh's materials)
+    ov = arrays.inst_mat_override[arrays.wtri_inst]
+    tri_mat = jnp.where(ov >= 0, ov, arrays.tri_mat[src])
     wtri_transp = arrays.materials[tri_mat, 6]  # TRANSPARENCY column
     transp_block = wtri_transp[arrays.node_leaf_tri]  # (Nu, K)
     # per-leaf-triangle material id, sign-encoding the instance orientation:
@@ -587,7 +596,7 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
         tri_v0=v0,
         tri_e1=e1,
         tri_e2=e2,
-        tri_mat=arrays.tri_mat[src],
+        tri_mat=tri_mat,
         tri_inst=arrays.wtri_inst,
         tri_nsign=tri_nsign.astype(jnp.float32),
         records=records,

@@ -26,6 +26,11 @@ class GameObject:
         default_factory=lambda: np.eye(4, dtype=np.float32)
     )
     name: str = ""
+    # Per-instance material override (-1 = use the mesh's per-triangle
+    # materials). The reference re-loads a mesh per GameObject just to stamp a
+    # different material on it (main.cpp:368-374); the override lets instances
+    # share one Mesh (one BLAS build, one soup copy) and recolor per instance.
+    material_override: int = -1
 
     def __post_init__(self):
         self.transform = np.asarray(self.transform, dtype=np.float32)
@@ -57,6 +62,7 @@ class Scene:
             h.update(np.int64(go.mesh.num_triangles).tobytes())
             h.update(go.mesh.vertices.tobytes())
             h.update(go.mesh.material_index.tobytes())
+            h.update(np.int64(go.material_override).tobytes())
         for m in self.materials:
             h.update(m.packed().tobytes())
         h.update(pack_lights(self.lights).tobytes())

@@ -1,39 +1,62 @@
-"""Golden-image regression: the demo scene must keep rendering the same image
-(SSIM >= 0.98 against the stored golden; BASELINE.md acceptance style). The
-golden was produced by this framework's own brute-force-validated renderer —
-the oracle the reference never shipped (SURVEY.md §4)."""
+"""Golden-image regression on the REAL reference demo geometry (cube.obj +
+Suzanne, assets/meshes): every kernel family must keep rendering the same image
+(SSIM >= 0.98; BASELINE.md acceptance style). Goldens come from the chunked
+brute-force oracle (tests/golden/generate.py) — the ground truth the reference
+never shipped (SURVEY.md §4). demo_reference_800x600.npz is the parity anchor
+at the reference's default resolution (main.cpp:35-36)."""
 
 import os
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from rayzen_tpu import RenderConfig, pack_scene
-from rayzen_tpu.demo import build_demo_scene
+from rayzen_tpu.demo import build_demo_scene, default_obj_dir
 from rayzen_tpu.image_io import ssim
 from rayzen_tpu.integrator import render_radiance
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "demo_48x32.npz")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
-def _render(kernels: str):
-    cfg = RenderConfig(width=48, height=32, spp=1, max_bounces=5, kernels=kernels)
-    scene = build_demo_scene(48, 32)
+def _golden(name):
+    return np.load(os.path.join(GOLDEN_DIR, name))["image"].astype(np.float32)
+
+
+def _render(width, height, kernels):
+    cfg = RenderConfig(
+        width=width, height=height, spp=1, max_bounces=5, kernels=kernels
+    )
+    scene = build_demo_scene(width, height)
     arrays = pack_scene(scene, cfg)
     cam = {k: jnp.asarray(v) for k, v in scene.camera.device_params().items()}
     return np.asarray(render_radiance(arrays, cam, cfg))
 
 
-def test_demo_matches_golden_xla():
-    golden = np.load(GOLDEN)["image"]
-    img = _render("xla")
+def test_demo_uses_reference_geometry():
+    # the default demo loads the checked-in reference meshes — 12-tri cube +
+    # 968-tri Suzanne x5 + missing car (main.cpp:368-384)
+    assert default_obj_dir() is not None
+    scene = build_demo_scene(64, 48)
+    assert scene.num_triangles == 12 + 5 * 968
+    meshes = {id(go.mesh) for go in scene.game_objects}
+    assert len(meshes) == 3  # cube, suzanne, empty car — shared, not reloaded
+
+
+def test_demo_matches_golden_xla_256():
+    golden = _golden("demo_256x192.npz")
+    img = _render(256, 192, "xla")
     s = ssim(img, golden)
     assert s >= 0.98, f"SSIM {s} < 0.98 vs golden"
-    # stochastic paths aside, the deterministic pipeline should be near-exact
+    # BVH-vs-brute on the deterministic pipeline should be near-exact
     assert np.abs(img - golden).mean() < 5e-3
 
 
-def test_demo_matches_golden_pallas_interpret():
-    golden = np.load(GOLDEN)["image"]
-    img = _render("pallas")
-    assert ssim(img, golden) >= 0.98
+@pytest.mark.parametrize("kernels", ["pallas-bvh2", "pallas-ml", "pallas"])
+def test_demo_matches_golden_pallas_96(kernels):
+    # all three Pallas kernel families (interpret mode on CPU), incl. the
+    # hybrid default ("pallas" -> frustum primary + bvh2 bounces)
+    golden = _golden("demo_96x64.npz")
+    img = _render(96, 64, kernels)
+    s = ssim(img, golden)
+    assert s >= 0.98, f"SSIM {s} < 0.98 vs golden ({kernels})"

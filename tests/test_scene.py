@@ -235,3 +235,37 @@ class TestSceneHash:
         s.game_objects[0].transform = s.game_objects[0].transform.copy()
         s.game_objects[0].transform[0, 3] += 5.0
         assert s.geometry_hash() == h0
+
+
+class TestMaterialOverride:
+    def test_override_changes_shading_only(self):
+        from rayzen_tpu.packing import world_geometry
+
+        mesh = procedural.cube(0)
+        scene = Scene()
+        scene.materials = [
+            Material((1.0, 0.0, 0.0), 0, 1),
+            Material((0.0, 1.0, 0.0), 0, 1),
+        ]
+        scene.game_objects.append(GameObject(mesh, tf.identity(), "a"))
+        scene.game_objects.append(
+            GameObject(
+                mesh, tf.translate(tf.identity(), (3.0, 0, 0)), "b",
+                material_override=1,
+            )
+        )
+        arrays = pack_scene(scene, RenderConfig())
+        assert arrays.tri_v0.shape[0] == 12  # mesh stored once, shared
+        ws = world_geometry(arrays)
+        wm = np.asarray(ws.tri_mat)
+        assert (wm[:12] == 0).all()  # instance a keeps mesh materials
+        assert (wm[12:] == 1).all()  # instance b overridden
+
+    def test_override_in_hash(self):
+        mesh = procedural.cube(0)
+        s = Scene()
+        s.materials = [Material((1, 1, 1), 0, 1)]
+        s.game_objects.append(GameObject(mesh, tf.identity()))
+        h0 = s.geometry_hash()
+        s.game_objects[0].material_override = 0
+        assert s.geometry_hash() != h0
