@@ -65,10 +65,12 @@ def main() -> int:
         return 1
 
     width, height = 1920, 1080
-    spp = 8  # samples accumulate on device in one dispatch (lax.fori_loop), so
-    # per-dispatch transport overhead (~0.6 s fixed on the tunneled v5e
+    spp = 32  # samples accumulate on device in one dispatch (lax.fori_loop),
+    # so per-dispatch transport overhead (~0.6 s fixed on the tunneled v5e
     # transport, measured) amortizes — this measures sustained render
-    # throughput, the number that matters for progressive/offline rendering
+    # throughput, the number that matters for progressive/offline rendering.
+    # (With the whole sample fused into one pallas_call the per-sample cost is
+    # flat in spp; 8 -> 32 spp only dilutes the fixed transport staging.)
     cfg = RenderConfig(width=width, height=height, spp=spp, max_bounces=5)
     scene = build_demo_scene(width, height)
     arrays = pack_scene(scene, cfg)

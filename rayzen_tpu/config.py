@@ -57,9 +57,12 @@ class RenderConfig:
     # Ray-wave tiling: rays per traversal wave. 0 = whole frame in one wave.
     wave_size: int = 0
 
-    # Traversal backend: "auto" picks the Pallas packet kernels on TPU and the
-    # portable XLA while_loop path on CPU; force with "pallas" / "xla".
-    # ("pallas" on CPU runs the kernels in interpreter mode — tests only.)
+    # Traversal backend: "auto" picks the full-sample Pallas megakernel on TPU
+    # (raygen + traversal + lighting + bounces in one kernel) and the portable
+    # XLA while_loop path on CPU; force with "pallas" / "xla". Variants for
+    # comparison: "pallas-nomega" (staged per-wave packet kernels),
+    # "pallas-bvh2" / "pallas-ml" (single kernel family, XLA bounce loop).
+    # ("pallas*" on CPU runs the kernels in interpreter mode — tests only.)
     kernels: str = "auto"
 
     # Pixel-tile swizzle edge for packet coherence (0 = scanline order). Rays

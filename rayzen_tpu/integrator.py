@@ -45,19 +45,21 @@ from .packing import SceneArrays, WorldArrays, world_geometry
 
 
 def select_kernels(cfg: RenderConfig, tracer: str = "bvh"):
-    """Pick (closest_hit, shadow, closest_hit_primary) implementations.
+    """Pick (closest_hit, shadow, closest_hit_primary, use_mega).
 
     The default TPU mix is *hybrid*: coherent waves (the peeled primary bounce
     and the shadow queries it spawns) use the frustum-interval kernels, whose
     internal-node tests are pure scalar work but whose conservative frustums
-    blow up on incoherent rays; bounce waves use the per-ray consensus (BVH2)
-    kernels. "pallas-bvh2" / "pallas-ml" force a single variant, "xla" the
-    portable while_loop path; tracer="brute" the oracles. On CPU the Pallas
+    blow up on incoherent rays; the whole bounce loop (bounces 1..N-1) runs in
+    the persistent megakernel (ops/megakernel.py) so wave state never leaves
+    VMEM. "pallas-bvh2" / "pallas-ml" force a single per-wave variant with the
+    XLA bounce loop, "pallas-nomega" the hybrid without the megakernel, "xla"
+    the portable while_loop path; tracer="brute" the oracles. On CPU the Pallas
     kernels run in interpreter mode (tests only)."""
     if tracer == "brute":
-        return brute_force_world, shadow_brute, None
+        return brute_force_world, shadow_brute, None, False
     on_cpu = jax.default_backend() == "cpu"
-    pallas_kinds = ("pallas", "pallas-bvh2", "pallas-ml")
+    pallas_kinds = ("pallas", "pallas-bvh2", "pallas-ml", "pallas-nomega")
     want_pallas = cfg.kernels in pallas_kinds or (
         cfg.kernels == "auto" and not on_cpu
     )
@@ -69,19 +71,22 @@ def select_kernels(cfg: RenderConfig, tracer: str = "bvh"):
                 partial(ptv.pallas_closest_hit, interpret=on_cpu),
                 partial(ptv.pallas_shadow_walk, interpret=on_cpu),
                 None,
+                False,
             )
         if cfg.kernels == "pallas-bvh2":  # per-ray consensus everywhere
             return (
                 partial(ptv.pallas_closest_hit_bvh2, interpret=on_cpu),
                 partial(ptv.pallas_shadow_walk_bvh2, interpret=on_cpu),
                 None,
+                False,
             )
         return (  # hybrid default: frustum only where rays share an origin
             partial(ptv.pallas_closest_hit_bvh2, interpret=on_cpu),
             partial(ptv.pallas_shadow_walk_bvh2, interpret=on_cpu),
             partial(ptv.pallas_closest_hit_frustum, interpret=on_cpu),
+            cfg.kernels != "pallas-nomega",
         )
-    return None, None, None
+    return None, None, None, False
 
 
 def _make_sampler(cfg: RenderConfig, frag, uv, width, height, key: int):
@@ -307,7 +312,7 @@ def render_rays(
     This is the shard-level entry: multi-chip rendering runs exactly this
     function on each device's tile of rays (parallel.py)."""
     max_bounces = max_bounces or cfg.max_bounces
-    trace_fn, shadow_fn, trace_primary_fn = select_kernels(cfg, tracer)
+    trace_fn, shadow_fn, trace_primary_fn, use_mega = select_kernels(cfg, tracer)
     if trace_fn is not None and tracer != "brute" and cfg.kernels == "auto":
         # Pallas kernels keep the whole scene in VMEM (~16 MB/core); very
         # large scenes fall back to the HBM-streaming XLA path automatically.
@@ -316,8 +321,52 @@ def render_rays(
         approx_bytes = 4 * (n_nodes * (56 + 16) + n_leaves * 48)
         if approx_bytes > 12 * 1024 * 1024:
             trace_fn = shadow_fn = trace_primary_fn = None
-    sampler = _make_sampler(cfg, frag, uv, cfg.width, cfg.height, rng_key)
+            use_mega = False
     ws = world_geometry(arrays)  # one refit per frame, shared by all waves
+
+    if use_mega:
+        # Full-sample megakernel: each sample is ONE pallas_call (raygen +
+        # primary + direct lighting + shadows + bounce loop) with only the
+        # uv/active tiles crossing the XLA<->kernel boundary. Measured on v5e:
+        # the padded-layout glue between XLA stages — not traversal — dominates
+        # the staged pipeline's frame time (docs/PERFORMANCE.md round 2).
+        from .ops import megakernel
+
+        act = (
+            jnp.ones((frag.shape[0],), bool) if active is None
+            else active.astype(bool)
+        )
+        on_cpu = jax.default_backend() == "cpu"
+
+        def mega_sample(samp):
+            return megakernel.sample_wave(
+                ws, cfg, uv, act, camera_params, samp, rng_key, max_bounces,
+                interpret=on_cpu,
+            )
+
+        total = jnp.zeros((frag.shape[0], 3), dtype=jnp.float32)
+        rays_traced = jnp.int32(0)
+        if cfg.spp <= 2:
+            for samp in range(cfg.spp):
+                radiance, rays = mega_sample(samp)
+                total = total + radiance
+                rays_traced = rays_traced + rays
+        else:
+
+            def body(samp, carry):
+                total, rays_traced = carry
+                radiance, rays = mega_sample(samp)
+                return total + radiance, rays_traced + rays
+
+            total, rays_traced = jax.lax.fori_loop(
+                0, cfg.spp, body, (total, rays_traced)
+            )
+        color = jnp.clip(total / float(cfg.spp), 0.0, 1.0)  # glsl:772-773
+        if with_stats:
+            return color, rays_traced
+        return color
+
+    sampler = _make_sampler(cfg, frag, uv, cfg.width, cfg.height, rng_key)
 
     def one_sample(samp):
         sampler.start_sample(samp)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,13 +52,17 @@ def generate_rays(uv, jitter, inv_proj, inv_view, cam_position):
     clip = jnp.concatenate(
         [ndc, jnp.full_like(ndc[..., :1], -1.0), jnp.ones_like(ndc[..., :1])], axis=-1
     )
-    eye = clip @ inv_proj.T  # (R, 4)
+    # precision=highest: the TPU MXU otherwise runs these 4x4 unprojections in
+    # bf16, which bends primary rays by ~1e-3 — visible against the f32 CPU
+    # goldens and the (f32, scalar-math) megakernel raygen
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    eye = mm(clip, inv_proj.T)  # (R, 4)
     # ray_eye = (x, y, -1, 0)  (glsl:209)
     eye = jnp.concatenate(
         [eye[..., :2], jnp.full_like(eye[..., :1], -1.0), jnp.zeros_like(eye[..., :1])],
         axis=-1,
     )
-    world = (eye @ inv_view.T)[..., :3]
+    world = mm(eye, inv_view.T)[..., :3]
     direction = normalize(world)
     origin = jnp.broadcast_to(cam_position, direction.shape)
     return origin, direction

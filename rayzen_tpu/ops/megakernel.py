@@ -1,0 +1,613 @@
+"""Persistent bounce megakernel: the whole bounce loop in one Pallas kernel.
+
+After the peeled primary bounce (which alone does direct lighting,
+fragment_shader.glsl:716), the wavefront integrator's remaining work per bounce
+is: closest-hit traversal, sky on miss (glsl:706-709), material scatter
+(glsl:722-756), and Russian roulette (glsl:764-769). Run as separate XLA stages
+(integrator.trace_wave) every bounce pays HBM round trips for the full wave
+state — and the (R,)/(R, 3)-shaped glue buffers are laid out with the minor
+dimension padded to 128 lanes on TPU (the documented 16-42x padding tax,
+docs/PERFORMANCE.md), so the *glue*, not the traversal, dominates bounce cost.
+
+This kernel fuses bounces 1..max_bounces-1 per ray packet: state lives in VMEM
+as (PACKET_ROWS, 128) tiles for the whole loop, traversal reuses the ordered-
+stack BVH2 walk (pallas_traverse.bvh2_walk_closest), and the RNG (both the
+reference sin-hash flow, ops/rng.ReferenceSampler, and the TPU-native integer
+hash, ops/rng.HashSampler) is evaluated inline — pure elementwise math. Each
+packet exits its bounce loop as soon as all of its rays die (finer-grained than
+the XLA while_loop's whole-wave exit).
+
+Faithfully-kept reference quirks (same list as integrator.trace_wave): direct
+lighting on bounce 0 only (handled outside), throughput trims 0.95 / 0.98 /
+albedo*0.4 (glsl:738,752,755), the scatter draw reused for Russian roulette
+(glsl:720 vs :766), geometric unflipped normals, self-intersection offset 0.003
+signed by the new direction (glsl:758-761).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..packing import WorldArrays
+from .pallas_traverse import (
+    PACKET_ROWS,
+    STACK_DEPTH,
+    _as_tiles,
+    bvh2_walk_closest,
+    bvh2_walk_shadow,
+)
+
+PI_REF = 3.14159  # glsl:197 (shade.py keeps the same literal)
+
+
+# ---- elementwise helpers on (rows, 128) tiles -------------------------------
+
+
+def _dot(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _cross(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+
+def _normalize(vx, vy, vz, eps):
+    n = jnp.maximum(jnp.sqrt(vx * vx + vy * vy + vz * vz), eps)
+    return vx / n, vy / n, vz / n
+
+
+def _ref_rand(x, y):
+    """fract(sin(dot(v, (12.9898, 78.233))) * 43758.5453) (glsl:188-190)."""
+    s = jnp.sin(x * 12.9898 + y * 78.233) * 43758.5453
+    return s - jnp.floor(s)
+
+
+def _hash_u32(x):
+    """lowbias32 (ops/rng._hash_u32)."""
+    x = x.astype(jnp.uint32)
+    x ^= x >> 16
+    x *= jnp.uint32(0x7FEB352D)
+    x ^= x >> 15
+    x *= jnp.uint32(0x846CA68B)
+    x ^= x >> 16
+    return x
+
+
+def _u32_to_unit_float(x):
+    # u32 -> i32 -> f32 (top 24 bits fit int32; Mosaic lacks u32 -> f32)
+    return (x >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(
+        1.0 / 16777216.0
+    )
+
+
+def _bounce_draws_reference(s0, s1, samp_f, b_f):
+    """ReferenceSampler.bounce_draws for a traced bounce index (ops/rng.py)."""
+    ts0 = s0 * (b_f * b_f) * 12793.46 + b_f * 1423.34
+    ts1 = s1 * (b_f * b_f) * 12793.46 + b_f * 1423.34
+    rand_val = _ref_rand(ts0 + samp_f, ts1 + b_f)
+    hemi_u = _ref_rand(ts0, ts1)
+    hemi_v = _ref_rand(ts0 + 1.0, ts1 + 1.0)
+    return rand_val, hemi_u, hemi_v
+
+
+def _bounce_draws_hash(h_pix, samp_u, b_u):
+    """HashSampler._draw for dims SCATTER/HEMI_U/HEMI_V (ops/rng.py). h_pix is
+    the precomputed hash(pixel_id ^ hash(key + golden)) tile."""
+    base = h_pix + samp_u * jnp.uint32(7919) + b_u * jnp.uint32(127)
+    rand_val = _u32_to_unit_float(_hash_u32(base + jnp.uint32(2)))
+    hemi_u = _u32_to_unit_float(_hash_u32(base + jnp.uint32(3)))
+    hemi_v = _u32_to_unit_float(_hash_u32(base + jnp.uint32(4)))
+    return rand_val, hemi_u, hemi_v
+
+
+def _hemisphere(nx, ny, nz, u, v):
+    """randomHemisphereDirection (glsl:192-202); see shade.hemisphere_direction."""
+    ct = jnp.sqrt(1.0 - u)
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    phi = 2.0 * PI_REF * v
+    lx = st * jnp.cos(phi)
+    ly = st * jnp.sin(phi)
+    lz = ct
+    m = jnp.abs(ny) < 0.99  # up = (0,1,0) else (1,0,0)
+    ux = jnp.where(m, 0.0, 1.0)
+    uy = jnp.where(m, 1.0, 0.0)
+    tx, ty, tz = _cross(ux, uy, jnp.zeros_like(ux), nx, ny, nz)
+    tx, ty, tz = _normalize(tx, ty, tz, 1e-20)
+    bx, by, bz = _cross(nx, ny, nz, tx, ty, tz)
+    ox = tx * lx + bx * ly + nx * lz
+    oy = ty * lx + by * ly + ny * lz
+    oz = tz * lx + bz * ly + nz * lz
+    return _normalize(ox, oy, oz, 1e-20)
+
+
+def _material_columns(mat_ref, n_mats, mat_f):
+    """Per-ray material fields (albedo rgb, metallic, roughness, reflectivity,
+    transparency, ior) via an unrolled select chain over the (small, static)
+    material table — same padded-gather avoidance as traverse.material_rows.
+    ``mat_f`` is the float material id (exact)."""
+    cols = [jnp.zeros_like(mat_f) for _ in range(8)]
+    for m in range(n_mats):
+        mask = mat_f == float(m)
+        for c in range(8):
+            cols[c] = jnp.where(mask, mat_ref[m, c], cols[c])
+    return cols
+
+
+def _scatter_tiles(dx, dy, dz, nx, ny, nz, cur_ior, rand_val, hemi_u, hemi_v,
+                   ar, ag, ab, refl, transp, mat_ior):
+    """Tile-wise port of integrator._scatter (glsl:722-756). Returns
+    (new_dir xyz, throughput factor rgb, new_ior)."""
+    is_trans = transp > 0.0
+    entering = -(dx * nx + dy * ny + dz * nz) > 0.0
+    sgn = jnp.where(entering, 1.0, -1.0)
+    nox, noy, noz = nx * sgn, ny * sgn, nz * sgn
+    next_ior = jnp.where(entering, mat_ior, 1.0)
+    eta = cur_ior / next_ior
+    mdn = -(dx * nox + dy * noy + dz * noz)
+    cosi = jnp.clip(mdn, 0.0, 1.0)
+    f0 = ((cur_ior - next_ior) / (cur_ior + next_ior)) ** 2
+    fresnel = f0 + (1.0 - f0) * (1.0 - cosi) ** 5
+
+    # refract_dir (glsl:558-567): normal oriented against the incident ray
+    cosi2 = jnp.clip(mdn, -1.0, 1.0)
+    sint2 = jnp.maximum(0.0, 1.0 - cosi2 * cosi2)
+    kk = 1.0 - eta * eta * sint2
+    refr_ok = kk >= 0.0
+    w = eta * cosi2 - jnp.sqrt(jnp.maximum(kk, 0.0))
+    rfx, rfy, rfz = _normalize(
+        eta * dx + w * nox, eta * dy + w * noy, eta * dz + w * noz, 1e-20
+    )
+
+    tir_case = is_trans & ~refr_ok
+    refract_case = is_trans & refr_ok
+    mirror_case = ~is_trans & (rand_val < refl)
+
+    d_dot_no = dx * nox + dy * noy + dz * noz
+    tox = dx - 2.0 * d_dot_no * nox  # reflect about oriented normal (TIR)
+    toy = dy - 2.0 * d_dot_no * noy
+    toz = dz - 2.0 * d_dot_no * noz
+    d_dot_n = dx * nx + dy * ny + dz * nz
+    tnx = dx - 2.0 * d_dot_n * nx  # reflect about geometric normal (mirror)
+    tny = dy - 2.0 * d_dot_n * ny
+    tnz = dz - 2.0 * d_dot_n * nz
+    hx, hy, hz = _hemisphere(nx, ny, nz, hemi_u, hemi_v)
+
+    def pick(tir, refr, mirr, diff):
+        return jnp.where(
+            tir_case, tir,
+            jnp.where(refract_case, refr, jnp.where(mirror_case, mirr, diff)),
+        )
+
+    ndx = pick(tox, rfx, tnx, hx)
+    ndy = pick(toy, rfy, tny, hy)
+    ndz = pick(toz, rfz, tnz, hz)
+
+    def factor(a):
+        # transmit weight per channel: clip(tint * transp * (1-fresnel), 0, 1)
+        tint = (1.0 - transp) + a * transp
+        return pick(
+            jnp.full_like(a, 0.98),
+            jnp.clip(tint * transp * (1.0 - fresnel), 0.0, 1.0),
+            jnp.full_like(a, 0.95),
+            a * 0.4,
+        )
+
+    fr = factor(ar)
+    fg = factor(ag)
+    fb = factor(ab)
+    new_ior = jnp.where(refract_case, next_ior, cur_ior)
+    return ndx, ndy, ndz, fr, fg, fb, new_ior
+
+
+# ---- the kernels -------------------------------------------------------------
+
+
+def _make_bounce_body(inner_ref, leaf_ref, mat_ref, stack_ref, leaf_k, n_mats,
+                      max_bounces, rr_start, sky_h, sky_z, draws_fn):
+    """Shared per-bounce step (trace -> sky -> scatter -> RR) operating on the
+    carry (b, o, d, throughput, ior, alive, color, rays) of VMEM tiles."""
+
+    def bounce(carry):
+        (b, ox, oy, oz, dx, dy, dz, tx, ty, tz, ior, alive,
+         cr, cg, cb, rays) = carry
+        rays = rays + alive  # traced-ray tally (summed outside)
+
+        t, _tri, cnx, cny, cnz, menc = bvh2_walk_closest(
+            inner_ref, leaf_ref, stack_ref, leaf_k,
+            ox, oy, oz, dx, dy, dz, alive > 0.5,
+        )
+        found = menc != 0.0
+        missed = (alive > 0.5) & ~found
+        # sky gradient (glsl:706-709)
+        sky_t = 0.5 * (dy + 1.0)
+        cr = cr + jnp.where(missed, tx * (sky_h[0] + (sky_z[0] - sky_h[0]) * sky_t), 0.0)
+        cg = cg + jnp.where(missed, ty * (sky_h[1] + (sky_z[1] - sky_h[1]) * sky_t), 0.0)
+        cb = cb + jnp.where(missed, tz * (sky_h[2] + (sky_z[2] - sky_h[2]) * sky_t), 0.0)
+        alive = jnp.where(found, alive, 0.0)
+
+        # oriented unit normal from the emitted cross product
+        sgn = jnp.where(menc < 0.0, -1.0, 1.0)
+        nn = jnp.maximum(
+            jnp.sqrt(cnx * cnx + cny * cny + cnz * cnz), 1e-20
+        )
+        nx, ny, nz = cnx / nn * sgn, cny / nn * sgn, cnz / nn * sgn
+        mat_f = jnp.abs(menc) - 1.0
+        ar, ag, ab, _metal, _rough, refl, transp, mat_ior = _material_columns(
+            mat_ref, n_mats, mat_f
+        )
+
+        rand_val, hemi_u, hemi_v = draws_fn(b)
+
+        ndx, ndy, ndz, fr, fg, fb, ior = _scatter_tiles(
+            dx, dy, dz, nx, ny, nz, ior, rand_val, hemi_u, hemi_v,
+            ar, ag, ab, refl, transp, mat_ior,
+        )
+        tx, ty, tz = tx * fr, ty * fg, tz * fb
+
+        # hit point + self-intersection offset (glsl:758-761)
+        push = jnp.where(ndx * nx + ndy * ny + ndz * nz > 0.0, 0.003, -0.003)
+        ox = ox + dx * t + nx * push
+        oy = oy + dy * t + ny * push
+        oz = oz + dz * t + nz * push
+        dx, dy, dz = ndx, ndy, ndz
+
+        # Russian roulette (glsl:764-769), reusing rand_val
+        if rr_start < max_bounces - 1:
+            apply_rr = b > rr_start
+            p = jnp.maximum(jnp.maximum(tx, ty), tz)
+            kill = apply_rr & (rand_val > p)
+            alive = jnp.where(kill, 0.0, alive)
+            inv_p = 1.0 / jnp.maximum(p, 1e-12)
+            tx = jnp.where(apply_rr, tx * inv_p, tx)
+            ty = jnp.where(apply_rr, ty * inv_p, ty)
+            tz = jnp.where(apply_rr, tz * inv_p, tz)
+
+        return (b + 1, ox, oy, oz, dx, dy, dz, tx, ty, tz, ior, alive,
+                cr, cg, cb, rays)
+
+    return bounce
+
+
+def _make_draws_fn(rng: str, s0, s1, samp_scalar):
+    """Per-bounce RNG draw closure over tile-shaped sampler state."""
+    if rng == "reference":
+
+        def draws(b):
+            return _bounce_draws_reference(s0, s1, samp_scalar, b.astype(jnp.float32))
+
+    else:
+
+        def draws(b):
+            return _bounce_draws_hash(
+                s0.astype(jnp.uint32),
+                samp_scalar.astype(jnp.int32).astype(jnp.uint32),
+                b.astype(jnp.uint32),
+            )
+
+    return draws
+
+
+def _raygen_tiles(u, v, jx, jy, cam_ref):
+    """In-kernel calculateRay (glsl:204-212): NDC -> eye -> world unprojection
+    with scalar reads from the packed camera table (rows 0-3 inv_proj, 4-7
+    inv_view, row 8 camera position)."""
+    ndx = (u + jx) * 2.0 - 1.0
+    ndy = (v + jy) * 2.0 - 1.0
+    P = lambda r, c: cam_ref[r, c]
+    eye0 = P(0, 0) * ndx + P(0, 1) * ndy - P(0, 2) + P(0, 3)
+    eye1 = P(1, 0) * ndx + P(1, 1) * ndy - P(1, 2) + P(1, 3)
+    # ray_eye = (eye0, eye1, -1, 0) (glsl:209)
+    V = lambda r, c: cam_ref[4 + r, c]
+    wx = V(0, 0) * eye0 + V(0, 1) * eye1 - V(0, 2)
+    wy = V(1, 0) * eye0 + V(1, 1) * eye1 - V(1, 2)
+    wz = V(2, 0) * eye0 + V(2, 1) * eye1 - V(2, 2)
+    dx, dy, dz = _normalize(wx, wy, wz, 0.0)
+    ox = jnp.zeros_like(dx) + cam_ref[8, 0]
+    oy = jnp.zeros_like(dy) + cam_ref[8, 1]
+    oz = jnp.zeros_like(dz) + cam_ref[8, 2]
+    return ox, oy, oz, dx, dy, dz
+
+
+def _direct_lighting_tiles(
+    inner_ref, leaf_ref, light_ref, stack_ref, leaf_k, n_lights,
+    min_vis, shadow_eps, ambient,
+    px, py, pz, nx, ny, nz, vx, vy, vz, alive,
+    ar, ag, ab, metallic, roughness, transp, mat_ior,
+):
+    """In-kernel calculateLighting (glsl:569-663) with transmission shadow
+    walks — tile-wise port of shade.direct_lighting. Returns (radiance rgb,
+    shadow-ray tally increment)."""
+    is_transparent = transp > 0.0
+    # transparent path F0 from IOR (glsl:572); standard F0 = mix(0.04, albedo, m)
+    f0t = ((1.0 - mat_ior) / (1.0 + mat_ior)) ** 2
+    f0sr = 0.04 * (1.0 - metallic) + ar * metallic
+    f0sg = 0.04 * (1.0 - metallic) + ag * metallic
+    f0sb = 0.04 * (1.0 - metallic) + ab * metallic
+
+    outsr = ambient[0] * ar  # (glsl:612); transparent path has no ambient
+    outsg = ambient[1] * ag
+    outsb = ambient[2] * ab
+    outtr = jnp.zeros_like(ar)
+    outtg = jnp.zeros_like(ar)
+    outtb = jnp.zeros_like(ar)
+
+    n_dot_v = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
+    rays = jnp.zeros_like(ar)
+
+    for li in range(n_lights):
+        g = lambda c: light_ref[li, c]
+        is_point = g(3) == 1.0  # scalar; w=1 point, w=0 directional
+        lvx, lvy, lvz = g(0) - px, g(1) - py, g(2) - pz
+        dist = jnp.maximum(
+            jnp.sqrt(lvx * lvx + lvy * lvy + lvz * lvz), 0.001
+        )
+        # directional: constant direction toward the light (glsl:585,631)
+        dn = jnp.sqrt(jnp.maximum(g(0) ** 2 + g(1) ** 2 + g(2) ** 2, 1e-40))
+        ldx = jnp.where(is_point, lvx / dist, g(0) / dn)
+        ldy = jnp.where(is_point, lvy / dist, g(1) / dn)
+        ldz = jnp.where(is_point, lvz / dist, g(2) / dn)
+        attenuation = jnp.where(is_point, g(7) / (dist * dist), g(7))
+        max_dist = jnp.where(is_point, dist, jnp.full_like(dist, 1e30))
+
+        rays = rays + alive
+        vis = bvh2_walk_shadow(
+            inner_ref, leaf_ref, stack_ref, leaf_k, min_vis, shadow_eps,
+            px + ldx * 0.001, py + ldy * 0.001, pz + ldz * 0.001,
+            ldx, ldy, ldz, max_dist, alive > 0.5,
+        )
+        attenuation = attenuation * vis
+        lit = (alive > 0.5) & (vis > min_vis)
+
+        n_dot_l = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+        hx, hy, hz = _normalize(ldx + vx, ldy + vy, ldz + vz, 1e-20)
+        n_dot_h = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
+        h_dot_v = jnp.maximum(hx * vx + hy * vy + hz * vz, 0.0)
+
+        # --- transparent specular-only lobe (glsl:571-609) ---
+        f_t = f0t + (1.0 - f0t) * (1.0 - h_dot_v) ** 5
+        rough_t = jnp.maximum(roughness, 0.02)
+        a2_t = (rough_t * rough_t) ** 2
+        dden_t = n_dot_h * n_dot_h * (a2_t - 1.0) + 1.0
+        d_t = a2_t / (PI_REF * dden_t * dden_t + 1e-6)
+        k_t = (rough_t + 1.0) ** 2 / 8.0
+        gv_t = n_dot_v / (n_dot_v * (1.0 - k_t) + k_t + 1e-6)
+        gl_t = n_dot_l / (n_dot_l * (1.0 - k_t) + k_t + 1e-6)
+        denom_t = jnp.maximum(4.0 * n_dot_l * n_dot_v, 1e-4)
+        spec_t = (f_t * d_t * gv_t * gl_t) / denom_t
+        lit_t = lit & (n_dot_l > 0.0)  # glsl:591 continue
+        wt = spec_t * attenuation * n_dot_l
+        outtr = outtr + jnp.where(lit_t, wt * g(4), 0.0)
+        outtg = outtg + jnp.where(lit_t, wt * g(5), 0.0)
+        outtb = outtb + jnp.where(lit_t, wt * g(6), 0.0)
+
+        # --- standard diffuse+specular (glsl:611-660) ---
+        alpha2 = (roughness * roughness) ** 2
+        dden_s = n_dot_h * n_dot_h * (alpha2 - 1.0) + 1.0
+        d_s = alpha2 / jnp.maximum(PI_REF * dden_s * dden_s, 1e-12)
+        k_s = (roughness + 1.0) ** 2 / 8.0
+        g_s = n_dot_v / (n_dot_v * (1.0 - k_s) + k_s)
+        g_s = g_s * (n_dot_l / (n_dot_l * (1.0 - k_s) + k_s))
+        denom_s = jnp.maximum(4.0 * n_dot_v * n_dot_l, 1e-4)
+        dg = d_s * g_s / denom_s
+        ndl_pi = n_dot_l / PI_REF
+
+        def chan(f0c, a, lc):
+            f_s = f0c + (1.0 - f0c) * (1.0 - h_dot_v) ** 5
+            spec = f_s * dg
+            diffuse = (1.0 - f_s) * a * ndl_pi
+            return jnp.maximum(0.0, (diffuse + spec) * lc * attenuation)
+
+        outsr = outsr + jnp.where(lit, chan(f0sr, ar, g(4)), 0.0)
+        outsg = outsg + jnp.where(lit, chan(f0sg, ag, g(5)), 0.0)
+        outsb = outsb + jnp.where(lit, chan(f0sb, ab, g(6)), 0.0)
+
+    dr = jnp.where(is_transparent, outtr, outsr)
+    dg_ = jnp.where(is_transparent, outtg, outsg)
+    db = jnp.where(is_transparent, outtb, outsb)
+    return dr, dg_, db, rays
+
+
+def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
+                        max_bounces: int, cfg: RenderConfig):
+    """One full path-tracing sample per packet: raygen, primary hit, direct
+    lighting (with in-kernel shadow walks), scatter, and the bounce loop —
+    the reference megakernel main() (fragment_shader.glsl:668-822) reshaped
+    into packet form. Ref order:
+    samp | key | inner | leaf | materials | lights | cam | u v act
+    -> cr cg cb rays, scratch: SMEM stack."""
+    rng = cfg.rng if cfg.rng == "reference" else "hash"
+    sky_h, sky_z = cfg.sky_horizon, cfg.sky_zenith
+    rr_start = cfg.rr_start_bounce
+    width, height = cfg.width, cfg.height
+
+    def kernel(samp_ref, key_ref, inner_ref, leaf_ref, mat_ref, light_ref,
+               cam_ref, u_ref, v_ref, act_ref,
+               cr_ref, cg_ref, cb_ref, rays_ref, stack_ref):
+        u, v = u_ref[:], v_ref[:]
+        act = act_ref[:]
+
+        # ---- per-ray sampler state, derived in-kernel from uv ----
+        if rng == "reference":
+            # seed = uv * (fragX + fragY + samp + 1) (glsl:688); frag = floor
+            # of uv*res + 0.5, i.e. fragX + fragY = floor(u*W)+floor(v*H)+1
+            samp_f = samp_ref[0, 0]
+            scale = jnp.floor(u * width) + jnp.floor(v * height) + 1.0 + (samp_f + 1.0)
+            s0 = u * scale
+            s1 = v * scale
+            jx = _ref_rand(s0, s1) * 0.00002
+            jy = _ref_rand(s0 + 1.0, s1 + 1.0) * 0.00002
+        else:
+            samp_f = samp_ref[0, 0]
+            # f32 -> i32 -> u32: Mosaic has no direct f32 -> u32 cast
+            pixel_id = (
+                jnp.floor(v * height).astype(jnp.int32).astype(jnp.uint32)
+                * jnp.uint32(width * 2)
+                + jnp.floor(u * width).astype(jnp.int32).astype(jnp.uint32)
+            )
+            key_h = _hash_u32(
+                key_ref[0, 0].astype(jnp.uint32) + jnp.uint32(0x9E3779B9)
+            )
+            s0 = _hash_u32(pixel_id ^ key_h)
+            s1 = jnp.zeros_like(u)
+            base0 = s0  # jitter draws at bounce 0, dims 0/1 (HashSampler)
+            samp_u = samp_f.astype(jnp.int32).astype(jnp.uint32)
+            jbase = base0 + samp_u * jnp.uint32(7919)
+            jx = (_u32_to_unit_float(_hash_u32(jbase + jnp.uint32(0))) - 0.5) / width
+            jy = (_u32_to_unit_float(_hash_u32(jbase + jnp.uint32(1))) - 0.5) / height
+
+        draws_fn = _make_draws_fn(rng, s0, s1, samp_ref[0, 0])
+
+        # ---- bounce 0 (peeled: the only bounce with direct lighting) ----
+        ox, oy, oz, dx, dy, dz = _raygen_tiles(u, v, jx, jy, cam_ref)
+        rays = act + jnp.zeros_like(u)
+        t, _tri, cnx, cny, cnz, menc = bvh2_walk_closest(
+            inner_ref, leaf_ref, stack_ref, leaf_k,
+            ox, oy, oz, dx, dy, dz, act > 0.5,
+        )
+        found = menc != 0.0
+        missed = (act > 0.5) & ~found
+        sky_t = 0.5 * (dy + 1.0)
+        cr = jnp.where(missed, sky_h[0] + (sky_z[0] - sky_h[0]) * sky_t, 0.0)
+        cg = jnp.where(missed, sky_h[1] + (sky_z[1] - sky_h[1]) * sky_t, 0.0)
+        cb = jnp.where(missed, sky_h[2] + (sky_z[2] - sky_h[2]) * sky_t, 0.0)
+        alive = jnp.where(found, act, 0.0)
+
+        sgn = jnp.where(menc < 0.0, -1.0, 1.0)
+        nn = jnp.maximum(jnp.sqrt(cnx * cnx + cny * cny + cnz * cnz), 1e-20)
+        nx, ny, nz = cnx / nn * sgn, cny / nn * sgn, cnz / nn * sgn
+        mat_f = jnp.abs(menc) - 1.0
+        ar, ag, ab, metal, rough, refl, transp, mat_ior = _material_columns(
+            mat_ref, n_mats, mat_f
+        )
+
+        px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
+        vx, vy, vz = _normalize(
+            cam_ref[8, 0] - px, cam_ref[8, 1] - py, cam_ref[8, 2] - pz, 1e-20
+        )
+        dr, dgg, db, lrays = _direct_lighting_tiles(
+            inner_ref, leaf_ref, light_ref, stack_ref, leaf_k, n_lights,
+            cfg.shadow_min_visibility, 1e-3, cfg.ambient,
+            px, py, pz, nx, ny, nz, vx, vy, vz, alive,
+            ar, ag, ab, metal, rough, transp, mat_ior,
+        )
+        rays = rays + lrays
+        cr = cr + jnp.where(alive > 0.5, dr, 0.0)
+        cg = cg + jnp.where(alive > 0.5, dgg, 0.0)
+        cb = cb + jnp.where(alive > 0.5, db, 0.0)
+
+        # bounce-0 scatter (throughput starts at 1)
+        rand_val, hemi_u, hemi_v = draws_fn(jnp.int32(0))
+        ndx, ndy, ndz, tx, ty, tz, ior = _scatter_tiles(
+            dx, dy, dz, nx, ny, nz, jnp.ones_like(u), rand_val, hemi_u, hemi_v,
+            ar, ag, ab, refl, transp, mat_ior,
+        )
+        push = jnp.where(ndx * nx + ndy * ny + ndz * nz > 0.0, 0.003, -0.003)
+        ox, oy, oz = px + nx * push, py + ny * push, pz + nz * push
+        dx, dy, dz = ndx, ndy, ndz
+
+        # ---- bounces 1..N-1 ----
+        if max_bounces > 1:
+            bounce = _make_bounce_body(
+                inner_ref, leaf_ref, mat_ref, stack_ref, leaf_k, n_mats,
+                max_bounces, rr_start, sky_h, sky_z, draws_fn,
+            )
+
+            def cond(carry):
+                return (carry[0] < max_bounces) & (jnp.sum(carry[11]) > 0.0)
+
+            out = jax.lax.while_loop(
+                cond, bounce,
+                (jnp.int32(1), ox, oy, oz, dx, dy, dz, tx, ty, tz, ior,
+                 alive, cr, cg, cb, rays),
+            )
+            cr, cg, cb, rays = out[12], out[13], out[14], out[15]
+
+        cr_ref[:] = cr
+        cg_ref[:] = cg
+        cb_ref[:] = cb
+        rays_ref[:] = rays
+
+    return kernel
+
+
+def sample_wave(
+    ws: WorldArrays,
+    cfg: RenderConfig,
+    uv,  # (R, 2) in [0, 1], packet-tile order
+    active,  # (R,) bool
+    camera_params: dict,  # inv_proj/inv_view (4,4), position (3,)
+    samp,  # () traced sample index
+    rng_key,  # () RNG stream key (hash sampler)
+    max_bounces: int,
+    interpret: bool = False,
+):
+    """Trace one full sample for the whole wave in ONE pallas_call: raygen +
+    primary + direct lighting + shadows + bounce loop. Only the tiny uv/act
+    tiles cross the XLA<->kernel boundary, eliminating the padded-layout glue
+    entirely. Returns (color (R, 3), rays ())."""
+    n_rays = uv.shape[0]
+    tiles = [
+        _as_tiles(uv[:, 0]),
+        _as_tiles(uv[:, 1]),
+        _as_tiles(active.astype(jnp.float32)),
+    ]
+    rows = tiles[0].shape[0]
+    pad = (-rows) % PACKET_ROWS
+    if pad:
+        tiles = [jnp.pad(a, ((0, pad), (0, 0))) for a in tiles]
+        rows += pad
+    grid = rows // PACKET_ROWS
+
+    cam = jnp.concatenate(
+        [
+            jnp.asarray(camera_params["inv_proj"], jnp.float32),
+            jnp.asarray(camera_params["inv_view"], jnp.float32),
+            jnp.concatenate(
+                [jnp.asarray(camera_params["position"], jnp.float32),
+                 jnp.zeros((1,), jnp.float32)]
+            ).reshape(1, 4),
+        ],
+        axis=0,
+    )  # (9, 4)
+
+    samp_arg = jnp.asarray(samp, jnp.float32).reshape(1, 1)
+    key_arg = jnp.asarray(rng_key, jnp.int32).reshape(1, 1)
+
+    ray_spec = pl.BlockSpec(
+        (PACKET_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    kernel = _make_sample_kernel(
+        ws.leaf_k, int(ws.materials.shape[0]), int(ws.lights.shape[0]),
+        max_bounces, cfg,
+    )
+    f32 = lambda: jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+    cr, cg, cb, rays_tile = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=(f32(), f32(), f32(), f32()),
+        in_specs=[
+            smem_scalar,
+            smem_scalar,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [ray_spec] * 3,
+        out_specs=(ray_spec,) * 4,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(samp_arg, key_arg, ws.inner_table, ws.leaf_table, ws.materials,
+      ws.lights, cam, *tiles)
+
+    color = jnp.stack(
+        [cr.reshape(-1)[:n_rays], cg.reshape(-1)[:n_rays],
+         cb.reshape(-1)[:n_rays]], axis=-1,
+    )
+    rays = jnp.sum(rays_tile).astype(jnp.int32)
+    return color, rays

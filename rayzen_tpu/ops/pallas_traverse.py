@@ -222,106 +222,119 @@ def _make_shadow_kernel(leaf_k: int, min_visibility: float, t_eps: float):
 STACK_DEPTH = 128  # max tree depth for the ordered stack kernels
 
 
+def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
+                      ox, oy, oz, dx, dy, dz, act):
+    """In-kernel ordered-stack closest-hit walk (shared by the BVH2 packet
+    kernel and the bounce megakernel). Each iteration pops one internal node,
+    tests BOTH children's boxes (stored in the parent row), processes leaf
+    children inline, and pushes hit internal children far-first/near-second so
+    t-pruning culls far subtrees. A missed child never costs an iteration —
+    roughly halving steps vs miss links.
+
+    Returns (t_best, tri_best, nx, ny, nz, menc): nx/ny/nz are the *unnormalized*
+    cross(e1, e2) of the winning triangle; menc is the sign-encoded material id
+    ((mat + 1) * orientation, 0 = miss)."""
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    t0 = jnp.full(ox.shape, T_FAR, jnp.float32)
+    tri0 = jnp.full(ox.shape, -1, jnp.int32)
+    z0 = jnp.zeros(ox.shape, jnp.float32)
+    stack_ref[0] = jnp.int32(0)  # root inner node
+
+    def leaf_proc(leaf_idx, hitmask, t_best, tri_best, nx, ny, nz, menc):
+        lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
+        first = lrow[0, 10 * leaf_k].astype(jnp.int32)
+        count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
+        for k in range(leaf_k):
+            tri = [lrow[0, 9 * k + c] for c in range(9)]
+            t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+            better = hitmask & h & (t < t_best) & (count > k)
+            t_best = jnp.where(better, t, t_best)
+            tri_best = jnp.where(better, first + k, tri_best)
+            nx, ny, nz, menc = _update_attrs(
+                better, tri, lrow[0, 10 * leaf_k + 2 + k], nx, ny, nz, menc
+            )
+        return t_best, tri_best, nx, ny, nz, menc
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, t_best, tri_best, nx, ny, nz, menc = c
+        sp = sp - 1
+        node = stack_ref[sp]
+        row = inner_ref[pl.ds(node, 1), :]
+        tminl, boxl = _slab(ox, oy, oz, ix, iy, iz,
+                            row[0, 0], row[0, 1], row[0, 2],
+                            row[0, 3], row[0, 4], row[0, 5])
+        tminr, boxr = _slab(ox, oy, oz, ix, iy, iz,
+                            row[0, 6], row[0, 7], row[0, 8],
+                            row[0, 9], row[0, 10], row[0, 11])
+        hitl = boxl & act & (tminl <= t_best)
+        hitr = boxr & act & (tminr <= t_best)
+        lref = row[0, 12].astype(jnp.int32)
+        rref = row[0, 13].astype(jnp.int32)
+        lcnt = row[0, 14].astype(jnp.int32)
+        rcnt = row[0, 15].astype(jnp.int32)
+        # ONE cross-lane reduction (~1.4+ us each on TPU) serves both
+        # consensus bits: pack the two hit counts into disjoint ranges
+        # (packet <= 4096 rays < 8192, so the counts cannot alias)
+        packed = jnp.sum(
+            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * 8192
+        )
+        any_l = (packed % 8192) > 0
+        any_r = packed >= 8192
+        l_leaf = lcnt >= 0
+        r_leaf = rcnt >= 0
+        hit_leaf_l = any_l & l_leaf
+        hit_leaf_r = any_r & r_leaf
+
+        def leaves(tt):
+            tt = jax.lax.cond(
+                hit_leaf_l,
+                lambda uu: leaf_proc(lref, hitl, *uu),
+                lambda uu: uu,
+                tt,
+            )
+            tt = jax.lax.cond(
+                hit_leaf_r,
+                lambda uu: leaf_proc(rref, hitr, *uu),
+                lambda uu: uu,
+                tt,
+            )
+            return tt
+
+        t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
+            hit_leaf_l | hit_leaf_r, leaves, lambda tt: tt,
+            (t_best, tri_best, nx, ny, nz, menc),
+        )
+
+        push_l = any_l & jnp.logical_not(l_leaf)
+        push_r = any_r & jnp.logical_not(r_leaf)
+        both = push_l & push_r
+        # fixed left-near ordering (consensus ordering costs 2 more
+        # reductions and measured as a wash)
+        v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
+        stack_ref[sp] = v0
+        stack_ref[sp + 1] = lref
+        sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
+        return sp, t_best, tri_best, nx, ny, nz, menc
+
+    return jax.lax.while_loop(
+        cond, body, (jnp.int32(1), t0, tri0, z0, z0, z0, z0)
+    )[1:]
+
+
 def _make_closest_kernel_bvh2(leaf_k: int):
-    """Ordered stack traversal: each iteration pops one internal node, tests
-    BOTH children's boxes (stored in the parent row), processes leaf children
-    inline, and pushes hit internal children far-first/near-second (packet
-    consensus on entry distance) so t-pruning culls far subtrees. A missed
-    child never costs an iteration — roughly halving steps vs miss links."""
+    """Ordered stack traversal kernel — see bvh2_walk_closest."""
 
     def kernel(inner_ref, leaf_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                dz_ref, act_ref, t_ref, tri_ref, nx_ref, ny_ref, nz_ref, me_ref,
                stack_ref):
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        act = act_ref[:] > 0.5
-        ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-        t0 = jnp.full(ox.shape, T_FAR, jnp.float32)
-        tri0 = jnp.full(ox.shape, -1, jnp.int32)
-        z0 = jnp.zeros(ox.shape, jnp.float32)
-        stack_ref[0] = jnp.int32(0)  # root inner node
-
-        def leaf_proc(leaf_idx, hitmask, t_best, tri_best, nx, ny, nz, menc):
-            lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
-            first = lrow[0, 10 * leaf_k].astype(jnp.int32)
-            count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
-            for k in range(leaf_k):
-                tri = [lrow[0, 9 * k + c] for c in range(9)]
-                t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
-                better = hitmask & h & (t < t_best) & (count > k)
-                t_best = jnp.where(better, t, t_best)
-                tri_best = jnp.where(better, first + k, tri_best)
-                nx, ny, nz, menc = _update_attrs(
-                    better, tri, lrow[0, 10 * leaf_k + 2 + k], nx, ny, nz, menc
-                )
-            return t_best, tri_best, nx, ny, nz, menc
-
-        def cond(c):
-            return c[0] > 0
-
-        def body(c):
-            sp, t_best, tri_best, nx, ny, nz, menc = c
-            sp = sp - 1
-            node = stack_ref[sp]
-            row = inner_ref[pl.ds(node, 1), :]
-            tminl, boxl = _slab(ox, oy, oz, ix, iy, iz,
-                                row[0, 0], row[0, 1], row[0, 2],
-                                row[0, 3], row[0, 4], row[0, 5])
-            tminr, boxr = _slab(ox, oy, oz, ix, iy, iz,
-                                row[0, 6], row[0, 7], row[0, 8],
-                                row[0, 9], row[0, 10], row[0, 11])
-            hitl = boxl & act & (tminl <= t_best)
-            hitr = boxr & act & (tminr <= t_best)
-            lref = row[0, 12].astype(jnp.int32)
-            rref = row[0, 13].astype(jnp.int32)
-            lcnt = row[0, 14].astype(jnp.int32)
-            rcnt = row[0, 15].astype(jnp.int32)
-            # ONE cross-lane reduction (~1.4+ us each on TPU) serves both
-            # consensus bits: pack the two hit counts into disjoint ranges
-            # (packet <= 4096 rays < 8192, so the counts cannot alias)
-            packed = jnp.sum(
-                hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * 8192
-            )
-            any_l = (packed % 8192) > 0
-            any_r = packed >= 8192
-            l_leaf = lcnt >= 0
-            r_leaf = rcnt >= 0
-            hit_leaf_l = any_l & l_leaf
-            hit_leaf_r = any_r & r_leaf
-
-            def leaves(tt):
-                tt = jax.lax.cond(
-                    hit_leaf_l,
-                    lambda uu: leaf_proc(lref, hitl, *uu),
-                    lambda uu: uu,
-                    tt,
-                )
-                tt = jax.lax.cond(
-                    hit_leaf_r,
-                    lambda uu: leaf_proc(rref, hitr, *uu),
-                    lambda uu: uu,
-                    tt,
-                )
-                return tt
-
-            t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
-                hit_leaf_l | hit_leaf_r, leaves, lambda tt: tt,
-                (t_best, tri_best, nx, ny, nz, menc),
-            )
-
-            push_l = any_l & jnp.logical_not(l_leaf)
-            push_r = any_r & jnp.logical_not(r_leaf)
-            both = push_l & push_r
-            # fixed left-near ordering (consensus ordering costs 2 more
-            # reductions and measured as a wash)
-            v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
-            stack_ref[sp] = v0
-            stack_ref[sp + 1] = lref
-            sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
-            return sp, t_best, tri_best, nx, ny, nz, menc
-
-        _, t_best, tri_best, nx, ny, nz, menc = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), t0, tri0, z0, z0, z0, z0)
+        t_best, tri_best, nx, ny, nz, menc = bvh2_walk_closest(
+            inner_ref, leaf_ref, stack_ref, leaf_k,
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            act_ref[:] > 0.5,
         )
         t_ref[:] = t_best
         tri_ref[:] = tri_best
@@ -333,89 +346,100 @@ def _make_closest_kernel_bvh2(leaf_k: int):
     return kernel
 
 
+def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
+                     min_visibility, t_eps,
+                     ox, oy, oz, dx, dy, dz, maxd, act):
+    """In-kernel ordered-stack transmission walk (shared by the BVH2 shadow
+    kernel and the sample megakernel). Returns the (tile-shaped) visibility:
+    product of surface transparencies within (t_eps, maxd), 0 past an opaque
+    blocker, with the consensus early-exit below ``min_visibility``
+    (shadowVisibility semantics, glsl:507-528)."""
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    vis0 = jnp.ones(ox.shape, jnp.float32)
+    stack_ref[0] = jnp.int32(0)
+
+    def leaf_proc(leaf_idx, hitmask, vis):
+        lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
+        count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
+        for k in range(leaf_k):
+            tri = [lrow[0, 9 * k + c] for c in range(9)]
+            t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+            blocking = hitmask & h & (t >= t_eps) & (t < maxd) & (count > k)
+            factor = lrow[0, 9 * leaf_k + k]  # transparency; 0 = opaque
+            vis = jnp.where(blocking, vis * factor, vis)
+        return vis
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, vis = c
+        sp = sp - 1
+        node = stack_ref[sp]
+        row = inner_ref[pl.ds(node, 1), :]
+        live = act & (vis > min_visibility)
+        tminl, boxl = _slab(ox, oy, oz, ix, iy, iz,
+                            row[0, 0], row[0, 1], row[0, 2],
+                            row[0, 3], row[0, 4], row[0, 5])
+        tminr, boxr = _slab(ox, oy, oz, ix, iy, iz,
+                            row[0, 6], row[0, 7], row[0, 8],
+                            row[0, 9], row[0, 10], row[0, 11])
+        hitl = boxl & live & (tminl <= maxd)
+        hitr = boxr & live & (tminr <= maxd)
+        lref = row[0, 12].astype(jnp.int32)
+        rref = row[0, 13].astype(jnp.int32)
+        lcnt = row[0, 14].astype(jnp.int32)
+        rcnt = row[0, 15].astype(jnp.int32)
+        # one packed reduction for both consensus bits (see closest kernel)
+        packed = jnp.sum(
+            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * 8192
+        )
+        any_l = (packed % 8192) > 0
+        any_r = packed >= 8192
+        l_leaf = lcnt >= 0
+        r_leaf = rcnt >= 0
+        hit_leaf_l = any_l & l_leaf
+        hit_leaf_r = any_r & r_leaf
+        any_leaf = hit_leaf_l | hit_leaf_r
+
+        # consensus early exit: visibility can only drop at leaves, so the
+        # (reduction-priced) dead check runs inside the leaf branch only
+        def leaves(vv):
+            vv = jax.lax.cond(
+                hit_leaf_l, lambda u: leaf_proc(lref, hitl, u), lambda u: u, vv
+            )
+            vv = jax.lax.cond(
+                hit_leaf_r, lambda u: leaf_proc(rref, hitr, u), lambda u: u, vv
+            )
+            dead = jnp.logical_not(jnp.any(act & (vv > min_visibility)))
+            return vv, dead
+
+        vis, dead = jax.lax.cond(
+            any_leaf, leaves, lambda vv: (vv, jnp.bool_(False)), vis
+        )
+
+        push_l = any_l & jnp.logical_not(l_leaf)
+        push_r = any_r & jnp.logical_not(r_leaf)
+        both = push_l & push_r
+        v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
+        stack_ref[sp] = v0
+        stack_ref[sp + 1] = lref
+        sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
+        sp = jnp.where(dead, 0, sp)
+        return sp, vis
+
+    return jax.lax.while_loop(cond, body, (jnp.int32(1), vis0))[1]
+
+
 def _make_shadow_kernel_bvh2(leaf_k: int, min_visibility: float, t_eps: float):
     def kernel(inner_ref, leaf_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                dz_ref, md_ref, act_ref, vis_ref, stack_ref):
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        maxd = md_ref[:]
-        act = act_ref[:] > 0.5
-        ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-        vis0 = jnp.ones(ox.shape, jnp.float32)
-        stack_ref[0] = jnp.int32(0)
-
-        def leaf_proc(leaf_idx, hitmask, vis):
-            lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
-            count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
-            for k in range(leaf_k):
-                tri = [lrow[0, 9 * k + c] for c in range(9)]
-                t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
-                blocking = hitmask & h & (t >= t_eps) & (t < maxd) & (count > k)
-                factor = lrow[0, 9 * leaf_k + k]  # transparency; 0 = opaque
-                vis = jnp.where(blocking, vis * factor, vis)
-            return vis
-
-        def cond(c):
-            return c[0] > 0
-
-        def body(c):
-            sp, vis = c
-            sp = sp - 1
-            node = stack_ref[sp]
-            row = inner_ref[pl.ds(node, 1), :]
-            live = act & (vis > min_visibility)
-            tminl, boxl = _slab(ox, oy, oz, ix, iy, iz,
-                                row[0, 0], row[0, 1], row[0, 2],
-                                row[0, 3], row[0, 4], row[0, 5])
-            tminr, boxr = _slab(ox, oy, oz, ix, iy, iz,
-                                row[0, 6], row[0, 7], row[0, 8],
-                                row[0, 9], row[0, 10], row[0, 11])
-            hitl = boxl & live & (tminl <= maxd)
-            hitr = boxr & live & (tminr <= maxd)
-            lref = row[0, 12].astype(jnp.int32)
-            rref = row[0, 13].astype(jnp.int32)
-            lcnt = row[0, 14].astype(jnp.int32)
-            rcnt = row[0, 15].astype(jnp.int32)
-            # one packed reduction for both consensus bits (see closest kernel)
-            packed = jnp.sum(
-                hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * 8192
-            )
-            any_l = (packed % 8192) > 0
-            any_r = packed >= 8192
-            l_leaf = lcnt >= 0
-            r_leaf = rcnt >= 0
-            hit_leaf_l = any_l & l_leaf
-            hit_leaf_r = any_r & r_leaf
-            any_leaf = hit_leaf_l | hit_leaf_r
-
-            # consensus early exit: visibility can only drop at leaves, so the
-            # (reduction-priced) dead check runs inside the leaf branch only
-            def leaves(vv):
-                vv = jax.lax.cond(
-                    hit_leaf_l, lambda u: leaf_proc(lref, hitl, u), lambda u: u, vv
-                )
-                vv = jax.lax.cond(
-                    hit_leaf_r, lambda u: leaf_proc(rref, hitr, u), lambda u: u, vv
-                )
-                dead = jnp.logical_not(jnp.any(act & (vv > min_visibility)))
-                return vv, dead
-
-            vis, dead = jax.lax.cond(
-                any_leaf, leaves, lambda vv: (vv, jnp.bool_(False)), vis
-            )
-
-            push_l = any_l & jnp.logical_not(l_leaf)
-            push_r = any_r & jnp.logical_not(r_leaf)
-            both = push_l & push_r
-            v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
-            stack_ref[sp] = v0
-            stack_ref[sp + 1] = lref
-            sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
-            sp = jnp.where(dead, 0, sp)
-            return sp, vis
-
-        _, vis = jax.lax.while_loop(cond, body, (jnp.int32(1), vis0))
-        vis_ref[:] = vis
+        vis_ref[:] = bvh2_walk_shadow(
+            inner_ref, leaf_ref, stack_ref, leaf_k, min_visibility, t_eps,
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            md_ref[:], act_ref[:] > 0.5,
+        )
 
     return kernel
 

@@ -1,0 +1,59 @@
+"""Quick A/B of kernel configurations on the 1080p demo scene (min-of-reps)."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from rayzen_tpu.cache import setup_compile_cache
+from rayzen_tpu.config import RenderConfig
+from rayzen_tpu.demo import build_demo_scene
+from rayzen_tpu.integrator import render_radiance_with_stats
+
+setup_compile_cache(".rayzen_cache/xla")
+
+W, H = 1920, 1080
+variants = sys.argv[1:] or ["pallas", "pallas-nomega"]
+
+scene = build_demo_scene(W, H)
+cam = {k: jnp.asarray(v) for k, v in scene.camera.device_params().items()}
+
+
+def best_time(fn, *args, reps=5):
+    out = fn(*args)
+    jax.tree_util.tree_map(lambda a: np.asarray(a), out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree_util.tree_map(lambda a: np.asarray(a), out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+for spec in variants:
+    # "kern" or "kern:mb" (bounce budget override)
+    kern, _, mb = spec.partition(":")
+    mb = int(mb) if mb else 5
+    from rayzen_tpu.packing import pack_scene
+
+    # marginal per-sample cost: (t(spp_hi) - t(spp_lo)) / (hi - lo) inside one
+    # jit cancels the fixed per-dispatch transport staging AND its noise
+    lo, hi = 4, 16
+    times = {}
+    rays_per_sample = 0
+    for spp in (lo, hi):
+        cfg = RenderConfig(width=W, height=H, spp=spp, max_bounces=mb,
+                           kernels=kern)
+        arrays = pack_scene(scene, cfg)
+        fn = jax.jit(lambda a, c, cfg=cfg: render_radiance_with_stats(a, c, cfg))
+        times[spp], (_, rays) = best_time(fn, arrays, cam)
+        rays_per_sample = int(rays) / spp
+    ms = (times[hi] - times[lo]) / (hi - lo) * 1e3
+    mrays = rays_per_sample / ms / 1e3
+    print(f"{spec:20s} {ms:7.1f} ms/sample  {mrays:6.1f} Mrays/s "
+          f"(marginal, {rays_per_sample/1e6:.2f} Mrays/sample)")
