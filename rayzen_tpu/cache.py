@@ -34,6 +34,7 @@ _ARRAY_FIELDS = [
     "uni_meta", "blas_src", "blas_inst", "tlas_mask", "wtri_src", "wtri_inst",
     "node_leaf_tri",
     "bvh2_child_node", "bvh2_child_ref", "bvh2_child_count", "bvh2_leaf_node",
+    "bvh8_child_node", "bvh8_child_ref", "bvh8_child_count",
     "materials", "lights",
 ]
 

@@ -49,6 +49,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--cache-dir", type=str, default=".rayzen_cache")
     p.add_argument("--compile-cache", type=str, default=None)
     p.add_argument("--multichip", action="store_true", help="shard over all devices")
+    p.add_argument(
+        "--interactive",
+        action="store_true",
+        help="stdin-driven live session: WASD/look move the camera, p/l/b/n "
+        "toggle preview/lights/BVH overlays, click picks — each command "
+        "re-renders --out (see rayzen_tpu/interactive.py for the protocol)",
+    )
     return p.parse_args(argv)
 
 
@@ -78,11 +85,22 @@ def main(argv=None) -> int:
 
     # Offscreen batch rendering gains nothing from the async-compile preview
     # fallback (that's for interactive use) — compile synchronously so the
-    # process teardown never races a daemon compile thread.
+    # process teardown never races a daemon compile thread. The interactive
+    # session keeps it: first frames serve the preview while the path tracer
+    # compiles in the background (the reference's editor fallback).
     if args.multichip:
-        renderer = Renderer.multi_chip(scene, cfg, async_compile=False)
+        renderer = Renderer.multi_chip(scene, cfg, async_compile=args.interactive)
     else:
-        renderer = Renderer(scene, cfg, async_compile=False)
+        renderer = Renderer(scene, cfg, async_compile=args.interactive)
+
+    if args.interactive:
+        from .interactive import InteractiveSession
+
+        session = InteractiveSession(renderer, out_path=args.out)
+        frames = session.run()
+        renderer.close()
+        log.info(f"Interactive session ended after {frames} frame(s)")
+        return 0
 
     mode = "preview" if args.preview else ("pt" if args.path_tracer_only else "auto")
 

@@ -70,6 +70,24 @@ class RenderConfig:
     # compact screen region; 64x64 = 4096 pixels = one Pallas packet.
     packet_tile: int = 64
 
+    # Megakernel BVH2 leaf handling: process both children's leaf triangles
+    # masked-dense every traversal step instead of gating on lax.conds (a
+    # Mosaic cond costs ~2 us; 2*leaf_size masked Moller-Trumbore tests ~1 us).
+    dense_leaves: bool = False
+
+    # Wide (BVH8) traversal nodes in the megakernel: the BVH2 tree is
+    # collapsed 8-wide at pack time (packing._collapse_bvh8); one traversal
+    # step tests 8 children with a single cheap two-stage consensus reduction.
+    wide_nodes: bool = False
+
+    # Megakernel bounce traversal as 8 octant-masked sub-walks per packet:
+    # shrinks the consensus node set for incoherent bounce waves (the in-VMEM
+    # analog of octant ray sorting). Measured SLOWER on the demo scene (89-102
+    # vs 57 ms/sample: real bounce waves die fast and are coherent enough that
+    # eight root descents cost more than the consensus they save) — kept as a
+    # knob for scenes with long-lived incoherent waves.
+    octant_bounce_walks: bool = False
+
     # Compact bounce waves (stream-compact alive rays to the front) before
     # traversal so packets of dead rays exit after one step. Pallas path only.
     # Off by default: measured on v5e with the demo scene, the prefix-sum +

@@ -223,13 +223,18 @@ STACK_DEPTH = 128  # max tree depth for the ordered stack kernels
 
 
 def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
-                      ox, oy, oz, dx, dy, dz, act):
+                      ox, oy, oz, dx, dy, dz, act, dense_leaves: bool = False):
     """In-kernel ordered-stack closest-hit walk (shared by the BVH2 packet
     kernel and the bounce megakernel). Each iteration pops one internal node,
     tests BOTH children's boxes (stored in the parent row), processes leaf
     children inline, and pushes hit internal children far-first/near-second so
     t-pruning culls far subtrees. A missed child never costs an iteration —
     roughly halving steps vs miss links.
+
+    ``dense_leaves``: process both children's leaf triangles masked-dense every
+    iteration instead of gating on lax.conds — a Mosaic cond costs ~2 us while
+    2*leaf_k extra masked Moller-Trumbore tests cost ~1 us of VPU time, so for
+    shallow trees the unconditional form wins.
 
     Returns (t_best, tri_best, nx, ny, nz, menc): nx/ny/nz are the *unnormalized*
     cross(e1, e2) of the winning triangle; menc is the sign-encoded material id
@@ -288,25 +293,36 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
         hit_leaf_l = any_l & l_leaf
         hit_leaf_r = any_r & r_leaf
 
-        def leaves(tt):
-            tt = jax.lax.cond(
-                hit_leaf_l,
-                lambda uu: leaf_proc(lref, hitl, *uu),
-                lambda uu: uu,
-                tt,
+        if dense_leaves:  # unconditional masked leaf tests (no conds)
+            lsafe = jnp.where(l_leaf, lref, 0)
+            rsafe = jnp.where(r_leaf, rref, 0)
+            t_best, tri_best, nx, ny, nz, menc = leaf_proc(
+                lsafe, hitl & hit_leaf_l, t_best, tri_best, nx, ny, nz, menc
             )
-            tt = jax.lax.cond(
-                hit_leaf_r,
-                lambda uu: leaf_proc(rref, hitr, *uu),
-                lambda uu: uu,
-                tt,
+            t_best, tri_best, nx, ny, nz, menc = leaf_proc(
+                rsafe, hitr & hit_leaf_r, t_best, tri_best, nx, ny, nz, menc
             )
-            return tt
+        else:
 
-        t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
-            hit_leaf_l | hit_leaf_r, leaves, lambda tt: tt,
-            (t_best, tri_best, nx, ny, nz, menc),
-        )
+            def leaves(tt):
+                tt = jax.lax.cond(
+                    hit_leaf_l,
+                    lambda uu: leaf_proc(lref, hitl, *uu),
+                    lambda uu: uu,
+                    tt,
+                )
+                tt = jax.lax.cond(
+                    hit_leaf_r,
+                    lambda uu: leaf_proc(rref, hitr, *uu),
+                    lambda uu: uu,
+                    tt,
+                )
+                return tt
+
+            t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
+                hit_leaf_l | hit_leaf_r, leaves, lambda tt: tt,
+                (t_best, tri_best, nx, ny, nz, menc),
+            )
 
         push_l = any_l & jnp.logical_not(l_leaf)
         push_r = any_r & jnp.logical_not(r_leaf)
@@ -348,12 +364,18 @@ def _make_closest_kernel_bvh2(leaf_k: int):
 
 def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
                      min_visibility, t_eps,
-                     ox, oy, oz, dx, dy, dz, maxd, act):
+                     ox, oy, oz, dx, dy, dz, maxd, act,
+                     dense_leaves: bool = False):
     """In-kernel ordered-stack transmission walk (shared by the BVH2 shadow
     kernel and the sample megakernel). Returns the (tile-shaped) visibility:
     product of surface transparencies within (t_eps, maxd), 0 past an opaque
     blocker, with the consensus early-exit below ``min_visibility``
-    (shadowVisibility semantics, glsl:507-528)."""
+    (shadowVisibility semantics, glsl:507-528).
+
+    ``dense_leaves``: unconditional masked leaf tests instead of lax.conds (see
+    bvh2_walk_closest); the explicit all-dead exit is dropped too — once every
+    ray is below the floor no box test passes, so the stack drains on its own
+    in a handful of cheap iterations."""
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     vis0 = jnp.ones(ox.shape, jnp.float32)
     stack_ref[0] = jnp.int32(0)
@@ -402,21 +424,28 @@ def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
         hit_leaf_r = any_r & r_leaf
         any_leaf = hit_leaf_l | hit_leaf_r
 
-        # consensus early exit: visibility can only drop at leaves, so the
-        # (reduction-priced) dead check runs inside the leaf branch only
-        def leaves(vv):
-            vv = jax.lax.cond(
-                hit_leaf_l, lambda u: leaf_proc(lref, hitl, u), lambda u: u, vv
-            )
-            vv = jax.lax.cond(
-                hit_leaf_r, lambda u: leaf_proc(rref, hitr, u), lambda u: u, vv
-            )
-            dead = jnp.logical_not(jnp.any(act & (vv > min_visibility)))
-            return vv, dead
+        if dense_leaves:
+            lsafe = jnp.where(l_leaf, lref, 0)
+            rsafe = jnp.where(r_leaf, rref, 0)
+            vis = leaf_proc(lsafe, hitl & hit_leaf_l, vis)
+            vis = leaf_proc(rsafe, hitr & hit_leaf_r, vis)
+            dead = jnp.bool_(False)
+        else:
+            # consensus early exit: visibility can only drop at leaves, so the
+            # (reduction-priced) dead check runs inside the leaf branch only
+            def leaves(vv):
+                vv = jax.lax.cond(
+                    hit_leaf_l, lambda u: leaf_proc(lref, hitl, u), lambda u: u, vv
+                )
+                vv = jax.lax.cond(
+                    hit_leaf_r, lambda u: leaf_proc(rref, hitr, u), lambda u: u, vv
+                )
+                dead = jnp.logical_not(jnp.any(act & (vv > min_visibility)))
+                return vv, dead
 
-        vis, dead = jax.lax.cond(
-            any_leaf, leaves, lambda vv: (vv, jnp.bool_(False)), vis
-        )
+            vis, dead = jax.lax.cond(
+                any_leaf, leaves, lambda vv: (vv, jnp.bool_(False)), vis
+            )
 
         push_l = any_l & jnp.logical_not(l_leaf)
         push_r = any_r & jnp.logical_not(r_leaf)
@@ -442,6 +471,191 @@ def _make_shadow_kernel_bvh2(leaf_k: int, min_visibility: float, t_eps: float):
         )
 
     return kernel
+
+
+def bvh8_walk_closest(inner8_ref, leaf_ref, stack_ref, leaf_k,
+                      ox, oy, oz, dx, dy, dz, act):
+    """In-kernel wide-node (BVH8) closest-hit walk over WorldArrays.inner8_table
+    (row layout: 8 x [bmin(3) bmax(3)] | 8 refs | 8 counts).
+
+    One iteration tests 8 children, so packets take ~3x fewer iterations than
+    the binary walk, and per-child consensus costs ~1/8 of a full cross-lane
+    reduction: each child's hit mask is first collapsed along sublanes (cheap
+    in-register math), the 8 partial rows are stacked into ONE (8, 128) tile
+    whose single lane-reduction yields all 8 consensus bits as scalars. Hit
+    leaf children are processed masked-dense under a single lax.cond (no
+    per-child conds — Mosaic conds cost ~2 us each)."""
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    t0 = jnp.full(ox.shape, T_FAR, jnp.float32)
+    tri0 = jnp.full(ox.shape, -1, jnp.int32)
+    z0 = jnp.zeros(ox.shape, jnp.float32)
+    stack_ref[0] = jnp.int32(0)
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, t_best, tri_best, nx, ny, nz, menc = c
+        sp = sp - 1
+        node = stack_ref[sp]
+        row = inner8_ref[pl.ds(node, 1), :]
+        hits, partial, pmins = [], [], []
+        for ch in range(8):
+            b0 = 6 * ch
+            tmin, box = _slab(ox, oy, oz, ix, iy, iz,
+                              row[0, b0], row[0, b0 + 1], row[0, b0 + 2],
+                              row[0, b0 + 3], row[0, b0 + 4], row[0, b0 + 5])
+            h = box & act & (tmin <= t_best)
+            hits.append(h)
+            partial.append(jnp.sum(h.astype(jnp.float32), axis=0, keepdims=True))
+            # consensus entry distance for the ordered push (min over hit rays)
+            pmins.append(
+                jnp.min(jnp.where(h, tmin, T_FAR), axis=0, keepdims=True)
+            )
+        sums = jnp.sum(jnp.concatenate(partial, axis=0), axis=1, keepdims=True)
+        mins = jnp.min(jnp.concatenate(pmins, axis=0), axis=1, keepdims=True)
+        refs = [row[0, 48 + ch].astype(jnp.int32) for ch in range(8)]
+        counts = [row[0, 56 + ch].astype(jnp.int32) for ch in range(8)]
+        hit_ch = [sums[ch, 0] > 0.0 for ch in range(8)]
+        leaf_ch = [counts[ch] >= 0 for ch in range(8)]
+        hit_leaf = [hit_ch[ch] & leaf_ch[ch] for ch in range(8)]
+        any_leaf = hit_leaf[0]
+        for ch in range(1, 8):
+            any_leaf = any_leaf | hit_leaf[ch]
+
+        def do_leaves(tt):
+            t_best, tri_best, nx, ny, nz, menc = tt
+            for ch in range(8):
+                safe = jnp.where(leaf_ch[ch], refs[ch], 0)
+                lrow = leaf_ref[pl.ds(safe, 1), :]
+                first = lrow[0, 10 * leaf_k].astype(jnp.int32)
+                count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
+                for k in range(leaf_k):
+                    tri = [lrow[0, 9 * k + cc] for cc in range(9)]
+                    t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+                    better = (
+                        hits[ch] & h & (t < t_best) & (count > k) & hit_leaf[ch]
+                    )
+                    t_best = jnp.where(better, t, t_best)
+                    tri_best = jnp.where(better, first + k, tri_best)
+                    nx, ny, nz, menc = _update_attrs(
+                        better, tri, lrow[0, 10 * leaf_k + 2 + k], nx, ny, nz,
+                        menc,
+                    )
+            return t_best, tri_best, nx, ny, nz, menc
+
+        t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
+            any_leaf, do_leaves, lambda tt: tt,
+            (t_best, tri_best, nx, ny, nz, menc),
+        )
+
+        # ordered push: sort (entry, ref, push) descending by consensus entry
+        # so the NEAREST child pops first and t-pruning culls far subtrees —
+        # without this the wide walk loses the binary walk's near-first
+        # ordering and visits measurably more nodes. Scalar odd-even network
+        # (19 comparators); non-pushed children sink with key -inf.
+        keys = [
+            jnp.where(
+                hit_ch[ch] & jnp.logical_not(leaf_ch[ch]),
+                mins[ch, 0], jnp.float32(-jnp.inf),
+            )
+            for ch in range(8)
+        ]
+        prefs = list(refs)
+        pushes = [hit_ch[ch] & jnp.logical_not(leaf_ch[ch]) for ch in range(8)]
+        net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+               (1, 2), (5, 6), (0, 4), (3, 7), (1, 5), (2, 6), (1, 4), (3, 6),
+               (2, 4), (3, 5), (3, 4)]
+        for i, j in net:  # descending: larger entry first
+            swap = keys[i] < keys[j]
+            keys[i], keys[j] = (
+                jnp.where(swap, keys[j], keys[i]),
+                jnp.where(swap, keys[i], keys[j]),
+            )
+            prefs[i], prefs[j] = (
+                jnp.where(swap, prefs[j], prefs[i]),
+                jnp.where(swap, prefs[i], prefs[j]),
+            )
+            pushes[i], pushes[j] = (
+                jnp.where(swap, pushes[j], pushes[i]),
+                jnp.where(swap, pushes[i], pushes[j]),
+            )
+        for ch in range(8):
+            stack_ref[sp] = jnp.where(pushes[ch], prefs[ch], stack_ref[sp])
+            sp = sp + pushes[ch].astype(jnp.int32)
+        return sp, t_best, tri_best, nx, ny, nz, menc
+
+    return jax.lax.while_loop(
+        cond, body, (jnp.int32(1), t0, tri0, z0, z0, z0, z0)
+    )[1:]
+
+
+def bvh8_walk_shadow(inner8_ref, leaf_ref, stack_ref, leaf_k,
+                     min_visibility, t_eps,
+                     ox, oy, oz, dx, dy, dz, maxd, act):
+    """Wide-node transmission walk — bvh8_walk_closest's shadow counterpart
+    (shadowVisibility semantics, glsl:507-528)."""
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    vis0 = jnp.ones(ox.shape, jnp.float32)
+    stack_ref[0] = jnp.int32(0)
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, vis = c
+        sp = sp - 1
+        node = stack_ref[sp]
+        row = inner8_ref[pl.ds(node, 1), :]
+        live = act & (vis > min_visibility)
+        hits, partial = [], []
+        for ch in range(8):
+            b0 = 6 * ch
+            tmin, box = _slab(ox, oy, oz, ix, iy, iz,
+                              row[0, b0], row[0, b0 + 1], row[0, b0 + 2],
+                              row[0, b0 + 3], row[0, b0 + 4], row[0, b0 + 5])
+            h = box & live & (tmin <= maxd)
+            hits.append(h)
+            partial.append(jnp.sum(h.astype(jnp.float32), axis=0, keepdims=True))
+        sums = jnp.sum(jnp.concatenate(partial, axis=0), axis=1, keepdims=True)
+        refs = [row[0, 48 + ch].astype(jnp.int32) for ch in range(8)]
+        counts = [row[0, 56 + ch].astype(jnp.int32) for ch in range(8)]
+        hit_ch = [sums[ch, 0] > 0.0 for ch in range(8)]
+        leaf_ch = [counts[ch] >= 0 for ch in range(8)]
+        hit_leaf = [hit_ch[ch] & leaf_ch[ch] for ch in range(8)]
+        any_leaf = hit_leaf[0]
+        for ch in range(1, 8):
+            any_leaf = any_leaf | hit_leaf[ch]
+
+        def do_leaves(vv):
+            for ch in range(8):
+                safe = jnp.where(leaf_ch[ch], refs[ch], 0)
+                lrow = leaf_ref[pl.ds(safe, 1), :]
+                count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
+                for k in range(leaf_k):
+                    tri = [lrow[0, 9 * k + cc] for cc in range(9)]
+                    t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+                    blocking = (
+                        hits[ch] & h & (t >= t_eps) & (t < maxd)
+                        & (count > k) & hit_leaf[ch]
+                    )
+                    factor = lrow[0, 9 * leaf_k + k]  # transparency; 0 opaque
+                    vv = jnp.where(blocking, vv * factor, vv)
+            dead = jnp.logical_not(jnp.any(act & (vv > min_visibility)))
+            return vv, dead
+
+        vis, dead = jax.lax.cond(
+            any_leaf, do_leaves, lambda vv: (vv, jnp.bool_(False)), vis
+        )
+
+        for ch in range(8):
+            push = hit_ch[ch] & jnp.logical_not(leaf_ch[ch])
+            stack_ref[sp] = jnp.where(push, refs[ch], stack_ref[sp])
+            sp = sp + push.astype(jnp.int32)
+        sp = jnp.where(dead, 0, sp)
+        return sp, vis
+
+    return jax.lax.while_loop(cond, body, (jnp.int32(1), vis0))[1]
 
 
 def _interval_inv(dlo, dhi):

@@ -24,6 +24,7 @@ Departures from the reference, by design (SURVEY.md §7):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import jax
@@ -92,6 +93,12 @@ class SceneArrays:
     bvh2_child_ref: jax.Array  # (Ni, 2) i32 — inner index | leaf-table index
     bvh2_child_count: jax.Array  # (Ni, 2) i32 — -1 internal; >=0 leaf count
     bvh2_leaf_node: jax.Array  # (L,) i32 — unified node id per leaf-table row
+    # BVH8 wide-node view (collapsed from the BVH2 view at pack time): one
+    # traversal step tests 8 children, so packets take ~3x fewer iterations
+    # and the per-iteration consensus reduction amortizes 4x. Same leaf table.
+    bvh8_child_node: jax.Array  # (N8, 8) i32 — unified node id (-1 = padding)
+    bvh8_child_ref: jax.Array  # (N8, 8) i32 — inner index | leaf-table index
+    bvh8_child_count: jax.Array  # (N8, 8) i32 — -1 internal; >=0 leaf count
     # Shading tables.
     materials: jax.Array  # (M, 8) f32
     lights: jax.Array  # (L, 8) f32
@@ -120,17 +127,51 @@ class SceneArrays:
 
 _blas_cache: dict = {}
 
+_BLAS_FIELDS = ("bounds_min", "bounds_max", "left_first", "count", "miss", "order")
+
+
+def _blas_disk_path(mesh, cfg: RenderConfig) -> str:
+    """Content-hash keyed per-mesh BLAS cache file. The reference keys its
+    bvh_cache/v2/meshN.* files by scene position (main.cpp:951-969), so the
+    same mesh rebuilt in another scene misses; hashing the vertex soup lets
+    meshes reuse across scenes and configs."""
+    import hashlib
+
+    h = hashlib.sha1(mesh.vertices.tobytes()).hexdigest()[:20]
+    return os.path.join(
+        cfg.cache_dir, "blas", f"{h}_{cfg.leaf_size}_{cfg.split_method}.npz"
+    )
+
 
 def _mesh_blas(mesh, cfg: RenderConfig) -> BLAS:
-    """Memoized per-mesh BLAS build (the reference memoizes in function-local
-    statics, main.cpp:1128-1136, and disk-caches in bvh_cache/v2)."""
+    """Per-mesh BLAS with two cache tiers: an in-process memo (the reference
+    memoizes in function-local statics, main.cpp:1128-1136) and a content-
+    hashed disk cache (the bvh_cache/v2 analog, main.cpp:951-969)."""
     key = (id(mesh), mesh.num_triangles, cfg.leaf_size, cfg.split_method)
     blas = _blas_cache.get(key)
-    if blas is None:
-        # native C++ builder when available; identical output to the numpy one
-        builder = native.build_blas if native.available() else build_blas
-        blas = builder(mesh.vertices, cfg.leaf_size, cfg.split_method)
-        _blas_cache[key] = blas
+    if blas is not None:
+        return blas
+    path = _blas_disk_path(mesh, cfg) if mesh.num_triangles else None
+    if path and not cfg.rebuild_bvh and os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                blas = BLAS(**{f: z[f] for f in _BLAS_FIELDS})
+            _blas_cache[key] = blas
+            return blas
+        except Exception as e:  # corrupt cache -> rebuild
+            log.error(f"BLAS cache load failed ({e}); rebuilding")
+    # native C++ builder when available; identical output to the numpy one
+    builder = native.build_blas if native.available() else build_blas
+    blas = builder(mesh.vertices, cfg.leaf_size, cfg.split_method)
+    _blas_cache[key] = blas
+    if path:
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp.npz"
+            np.savez(tmp, **{f: getattr(blas, f) for f in _BLAS_FIELDS})
+            os.replace(tmp, path)
+        except Exception as e:
+            log.error(f"BLAS cache write failed: {e}")
     return blas
 
 
@@ -227,6 +268,9 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         bvh2_child_ref=jnp.asarray(uni["bvh2_child_ref"]),
         bvh2_child_count=jnp.asarray(uni["bvh2_child_count"]),
         bvh2_leaf_node=jnp.asarray(uni["bvh2_leaf_node"]),
+        bvh8_child_node=jnp.asarray(uni["bvh8_child_node"]),
+        bvh8_child_ref=jnp.asarray(uni["bvh8_child_ref"]),
+        bvh8_child_count=jnp.asarray(uni["bvh8_child_count"]),
         tri_v0=jnp.asarray(tri_v0),
         tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2),
@@ -445,11 +489,117 @@ def _build_bvh2(uni_meta: np.ndarray, n_tlas: int):
 
     if not leaf_node:
         leaf_node.append(0)
-    return dict(
+    out = dict(
         bvh2_child_node=np.asarray(inner_child_node, dtype=np.int32),
         bvh2_child_ref=np.asarray(inner_child_ref, dtype=np.int32),
         bvh2_child_count=np.asarray(inner_child_count, dtype=np.int32),
         bvh2_leaf_node=np.asarray(leaf_node, dtype=np.int32),
+    )
+    out.update(
+        _collapse_bvh8(
+            out["bvh2_child_node"], out["bvh2_child_ref"], out["bvh2_child_count"]
+        )
+    )
+    return out
+
+
+def _collapse_bvh8(child_node: np.ndarray, child_ref: np.ndarray,
+                   child_count: np.ndarray):
+    """Collapse the BVH2 child table into 8-wide nodes.
+
+    Classic BVH2 -> BVH8 collapse: each wide node starts from a binary node's
+    two children and greedily expands the internal child with the largest
+    leaf-subtree until 8 slots are filled (largest-first keeps the tree
+    balanced, minimizing depth). Children that stay internal become new wide
+    nodes. Padding slots carry node id -1 (inverted box on device — never
+    hit). The leaf table is shared with the BVH2 view."""
+    ni = child_node.shape[0]
+
+    # leaf counts per inner node (iterative reverse-BFS accumulation)
+    sizes = np.ones(ni, dtype=np.int64)
+    order = []
+    stack = [0]
+    seen = set()
+    while stack:
+        n = stack.pop()
+        if n in seen:
+            continue
+        seen.add(n)
+        order.append(n)
+        for c in range(2):
+            if child_count[n, c] < 0:
+                stack.append(int(child_ref[n, c]))
+    for n in reversed(order):
+        s = 0
+        for c in range(2):
+            if child_node[n, c] < 0:
+                continue
+            if child_count[n, c] < 0:
+                s += sizes[int(child_ref[n, c])]
+            else:
+                s += 1
+        sizes[n] = max(s, 1)
+
+    w_node, w_ref, w_count = [], [], []
+    index_of = {0: 0}
+    w_node.append(None)
+    w_ref.append(None)
+    w_count.append(None)
+    queue = [0]
+    while queue:
+        b2 = queue.pop(0)
+        slot = index_of[b2]
+        # entries: (unified_node_id, bvh2_ref_or_leaf_ref, count)
+        entries = [
+            (int(child_node[b2, c]), int(child_ref[b2, c]), int(child_count[b2, c]))
+            for c in range(2)
+            if child_node[b2, c] >= 0
+        ]
+        while len(entries) < 8:
+            internal = [e for e in entries if e[2] < 0]
+            if not internal:
+                break
+            # expand the internal entry with the largest subtree
+            pick = max(internal, key=lambda e: sizes[e[1]])
+            entries.remove(pick)
+            for c in range(2):
+                if child_node[pick[1], c] >= 0:
+                    entries.append(
+                        (int(child_node[pick[1], c]), int(child_ref[pick[1], c]),
+                         int(child_count[pick[1], c]))
+                    )
+            if len(entries) > 8:  # over-expanded: revert and stop
+                for c in range(2):
+                    if child_node[pick[1], c] >= 0:
+                        entries.pop()
+                entries.append(pick)
+                break
+        nodes8, refs8, counts8 = [], [], []
+        for node_id, ref, count in entries:
+            if count < 0:  # stays internal: becomes a wide node
+                if ref not in index_of:
+                    index_of[ref] = len(w_node)
+                    w_node.append(None)
+                    w_ref.append(None)
+                    w_count.append(None)
+                    queue.append(ref)
+                refs8.append(index_of[ref])
+            else:
+                refs8.append(ref)
+            nodes8.append(node_id)
+            counts8.append(count)
+        while len(nodes8) < 8:  # padding
+            nodes8.append(-1)
+            refs8.append(0)
+            counts8.append(0)
+        w_node[slot] = nodes8
+        w_ref[slot] = refs8
+        w_count[slot] = counts8
+
+    return dict(
+        bvh8_child_node=np.asarray(w_node, dtype=np.int32),
+        bvh8_child_ref=np.asarray(w_ref, dtype=np.int32),
+        bvh8_child_count=np.asarray(w_count, dtype=np.int32),
     )
 
 
@@ -485,6 +635,9 @@ class WorldArrays:
     # first | count | pad]).
     inner_table: jax.Array  # (Ni, 16) f32
     leaf_table: jax.Array  # (L, W2) f32
+    # BVH8 wide-node table: row = [8 x (bmin(3) bmax(3)) | 8 refs | 8 counts]
+    # = 64 f32 columns; shares leaf_table with the BVH2 view.
+    inner8_table: jax.Array  # (N8, 64) f32
     materials: jax.Array  # (M, 8) f32
     lights: jax.Array  # (L, 8) f32
     leaf_k: int = dataclasses.field(metadata=dict(static=True), default=4)
@@ -579,6 +732,19 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
         [cb[:, 0, :], cb[:, 1, :], cref, ccnt], axis=1
     )  # (Ni, 16)
 
+    # ---- BVH8 wide-node table ----
+    cn8 = arrays.bvh8_child_node  # (N8, 8)
+    cb8 = node_bounds[jnp.maximum(cn8, 0)]  # (N8, 8, 6)
+    cb8 = jnp.where((cn8 >= 0)[..., None], cb8, inverted)
+    inner8_table = jnp.concatenate(
+        [
+            cb8.reshape(cn8.shape[0], 48),
+            arrays.bvh8_child_ref.astype(jnp.float32),
+            arrays.bvh8_child_count.astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (N8, 64)
+
     leaf_nodes = arrays.bvh2_leaf_node  # (L,)
     leaf_tri_block = leaf_block[leaf_nodes]  # (L, 9K)
     leaf_transp = transp_block[leaf_nodes]  # (L, K)
@@ -601,6 +767,7 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
         tri_nsign=tri_nsign.astype(jnp.float32),
         records=records,
         inner_table=inner_table,
+        inner8_table=inner8_table,
         leaf_table=leaf_table,
         materials=arrays.materials,
         lights=arrays.lights,

@@ -36,8 +36,14 @@ def best_time(fn, *args, reps=5):
 
 
 for spec in variants:
-    # "kern" or "kern:mb" (bounce budget override)
-    kern, _, mb = spec.partition(":")
+    # "kern", "kern:mb" (bounce budget), "+oct" (octant bounce walks),
+    # "+w8" (wide BVH8 nodes)
+    base = spec
+    oct_walks = "+oct" in base
+    wide = "+w8" in base
+    dense = "+dl" in base
+    base = base.replace("+oct", "").replace("+w8", "").replace("+dl", "")
+    kern, _, mb = base.partition(":")
     mb = int(mb) if mb else 5
     from rayzen_tpu.packing import pack_scene
 
@@ -48,7 +54,8 @@ for spec in variants:
     rays_per_sample = 0
     for spp in (lo, hi):
         cfg = RenderConfig(width=W, height=H, spp=spp, max_bounces=mb,
-                           kernels=kern)
+                           kernels=kern, octant_bounce_walks=oct_walks,
+                           wide_nodes=wide, dense_leaves=dense)
         arrays = pack_scene(scene, cfg)
         fn = jax.jit(lambda a, c, cfg=cfg: render_radiance_with_stats(a, c, cfg))
         times[spp], (_, rays) = best_time(fn, arrays, cam)

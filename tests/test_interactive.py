@@ -1,0 +1,74 @@
+"""Recorded interactive sessions: keystrokes mutate camera/toggles between
+frames without restarts (VERDICT r1 #5; reference main.cpp:441-552, 690-740)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from rayzen_tpu.config import RenderConfig
+from rayzen_tpu.demo import build_small_scene
+from rayzen_tpu.interactive import InteractiveSession
+from rayzen_tpu.renderer import Renderer
+
+
+@pytest.fixture(scope="module")
+def session(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("live")
+    cfg = RenderConfig(
+        width=48, height=32, spp=1, max_bounces=2,
+        cache_dir=str(tmp / "cache"),
+    )
+    scene = build_small_scene(48, 32)
+    r = Renderer(scene, cfg, async_compile=False)
+    return InteractiveSession(
+        r, out_path=str(tmp / "live.png"), status=io.StringIO()
+    ), tmp
+
+
+class TestRecordedSession:
+    def test_movement_changes_frame(self, session):
+        s, tmp = session
+        s.run(io.StringIO("w 0.4\n"))
+        first = s.frame.copy()
+        assert os.path.exists(str(tmp / "live.png"))
+        s.handle("look 40 0")
+        assert not np.allclose(first, s.frame)  # camera moved the image
+        pos0 = s.r.scene.camera.position.copy()
+        s.handle("d 0.5")
+        assert not np.allclose(pos0, s.r.scene.camera.position)
+
+    def test_toggles_flip_config_live(self, session):
+        s, _ = session
+        assert not s.r.cfg.debug_show_bvh
+        s.handle("b")
+        assert s.r.cfg.debug_show_bvh
+        s.handle("l")
+        assert s.r.cfg.debug_show_lights
+        s.handle("n")
+        assert s.r.cfg.debug_bvh_mode == 1
+        s.handle("b")
+        s.handle("l")
+        assert not (s.r.cfg.debug_show_bvh or s.r.cfg.debug_show_lights)
+        s.handle("n")
+
+    def test_preview_toggle_and_quit(self, session):
+        s, _ = session
+        s.handle("p")
+        assert s.mode == "preview"
+        s.handle("p")
+        assert s.mode == "auto"
+        assert s.handle("quit") is False
+
+    def test_click_selects_triangle(self, session):
+        s, _ = session
+        out = s.status
+        s.handle("click 24 10")  # center-ish: the demo floor/objects
+        text = out.getvalue()
+        assert "pick:" in text
+
+    def test_save(self, session):
+        s, tmp = session
+        s.handle(f"save {tmp / 'snap.png'}")
+        assert os.path.exists(str(tmp / "snap.png"))

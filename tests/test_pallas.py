@@ -114,6 +114,21 @@ class TestSampleMegakernel:
         )
         assert np.abs(fused - unfused).max() < 1e-4
 
+    def test_wide_nodes_match(self, small_arrays, small_camera):
+        """BVH8 wide-node walks (pack-time collapse + 8-child consensus) give
+        the same image as the BVH2 walks."""
+        cfg = RenderConfig(width=48, height=32, spp=1, max_bounces=5)
+        narrow = np.asarray(
+            render_radiance(small_arrays, small_camera, cfg.replace(kernels="pallas"))
+        )
+        wide = np.asarray(
+            render_radiance(
+                small_arrays, small_camera,
+                cfg.replace(kernels="pallas", wide_nodes=True),
+            )
+        )
+        assert np.abs(narrow - wide).max() < 1e-4
+
     def test_hash_rng_path(self, small_arrays, small_camera):
         cfg = RenderConfig(
             width=48, height=32, spp=1, max_bounces=5, rng="threefry"

@@ -112,6 +112,32 @@ class TestCache:
         a = cached_pack_scene(scene, tiny_cfg, force_rebuild=True)
         assert a.num_instances == 4
 
+    def test_per_mesh_blas_disk_cache(self, tiny_cfg, monkeypatch):
+        """A second scene sharing a mesh skips its BLAS build via the content-
+        hashed disk cache (reference bvh_cache/v2 analog, main.cpp:951-969 —
+        but keyed by mesh content so it survives across scenes/processes)."""
+        import rayzen_tpu.packing as packing_mod
+
+        scene = build_small_scene(32, 24)
+        packing_mod._blas_cache.clear()
+        pack_scene(scene, tiny_cfg)  # builds + writes the disk tier
+        # fresh process simulation: empty memo, builders must NOT run
+        packing_mod._blas_cache.clear()
+
+        def boom(*a, **k):
+            raise AssertionError("BLAS builder ran despite a disk-cache hit")
+
+        monkeypatch.setattr(packing_mod, "build_blas", boom)
+        monkeypatch.setattr(
+            packing_mod.native, "build_blas", boom, raising=False
+        )
+        a2 = pack_scene(scene, tiny_cfg)
+        assert a2.num_instances == 4
+        # rebuild_bvh bypasses the disk tier (reference --rebuild-bvh parity)
+        packing_mod._blas_cache.clear()
+        with pytest.raises(AssertionError):
+            pack_scene(scene, tiny_cfg.replace(rebuild_bvh=True))
+
 
 class TestOverlays:
     def test_hsv2rgb(self):
