@@ -234,6 +234,11 @@ def build_lbvh(prim_bmin, prim_bmax):
         miss=miss,
         bounds_min=bmin,
         bounds_max=bmax,
+        # explicit child pairs of the n-1 internal nodes (node ids; leaves are
+        # ids >= n-1) — lets callers derive child-table (BVH2) layouts in-jit
+        # (deform.py builds the Pallas traversal tables per frame from these)
+        left_child=left.astype(jnp.int32),
+        right_child=right.astype(jnp.int32),
     )
 
 

@@ -314,12 +314,17 @@ def render_rays(
     max_bounces = max_bounces or cfg.max_bounces
     trace_fn, shadow_fn, trace_primary_fn, use_mega = select_kernels(cfg, tracer)
     if trace_fn is not None and tracer != "brute" and cfg.kernels == "auto":
-        # Pallas kernels keep the whole scene in VMEM (~16 MB/core); very
-        # large scenes fall back to the HBM-streaming XLA path automatically.
-        n_nodes = int(arrays.uni_meta.shape[0])
+        # Pallas kernels keep the whole tree's tables in VMEM; Mosaic's scoped
+        # working set runs ~3.5-4x the raw table bytes (measured on v5e OOM
+        # dumps), so with 16 MB of VMEM the tables must stay under ~4 MB.
+        # Bigger single trees fall back to the XLA path — but the Renderer
+        # chunks such scenes first (bigscene.py), so this is a last resort
+        # for direct render_rays callers.
+        n_inner = int(arrays.bvh2_child_node.shape[0])
         n_leaves = int(arrays.bvh2_leaf_node.shape[0])
-        approx_bytes = 4 * (n_nodes * (56 + 16) + n_leaves * 48)
-        if approx_bytes > 12 * 1024 * 1024:
+        leaf_w = ((11 * cfg.leaf_size + 2 + 7) // 8) * 8
+        table_bytes = 4 * (n_inner * 16 + n_leaves * leaf_w)
+        if table_bytes > int(3.5 * 1024 * 1024):
             trace_fn = shadow_fn = trace_primary_fn = None
             use_mega = False
     ws = world_geometry(arrays)  # one refit per frame, shared by all waves

@@ -223,7 +223,8 @@ STACK_DEPTH = 128  # max tree depth for the ordered stack kernels
 
 
 def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
-                      ox, oy, oz, dx, dy, dz, act, dense_leaves: bool = False):
+                      ox, oy, oz, dx, dy, dz, act, dense_leaves: bool = False,
+                      t_init=None):
     """In-kernel ordered-stack closest-hit walk (shared by the BVH2 packet
     kernel and the bounce megakernel). Each iteration pops one internal node,
     tests BOTH children's boxes (stored in the parent row), processes leaf
@@ -238,9 +239,15 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
 
     Returns (t_best, tri_best, nx, ny, nz, menc): nx/ny/nz are the *unnormalized*
     cross(e1, e2) of the winning triangle; menc is the sign-encoded material id
-    ((mat + 1) * orientation, 0 = miss)."""
+    ((mat + 1) * orientation, 0 = miss).
+
+    ``t_init``: optional per-ray upper bound on t — hits at or beyond it are
+    ignored and its value prunes box tests from the first step (used by the
+    chunked large-scene path to carry the best hit across chunk trees)."""
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-    t0 = jnp.full(ox.shape, T_FAR, jnp.float32)
+    t0 = (
+        jnp.full(ox.shape, T_FAR, jnp.float32) if t_init is None else t_init
+    )
     tri0 = jnp.full(ox.shape, -1, jnp.int32)
     z0 = jnp.zeros(ox.shape, jnp.float32)
     stack_ref[0] = jnp.int32(0)  # root inner node
@@ -340,17 +347,21 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
     )[1:]
 
 
-def _make_closest_kernel_bvh2(leaf_k: int):
+def _make_closest_kernel_bvh2(leaf_k: int, with_t_init: bool = False):
     """Ordered stack traversal kernel — see bvh2_walk_closest."""
 
     def kernel(inner_ref, leaf_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-               dz_ref, act_ref, t_ref, tri_ref, nx_ref, ny_ref, nz_ref, me_ref,
-               stack_ref):
+               dz_ref, act_ref, *rest):
+        if with_t_init:
+            ti_ref = rest[0]
+            rest = rest[1:]
+        t_ref, tri_ref, nx_ref, ny_ref, nz_ref, me_ref, stack_ref = rest
         t_best, tri_best, nx, ny, nz, menc = bvh2_walk_closest(
             inner_ref, leaf_ref, stack_ref, leaf_k,
             ox_ref[:], oy_ref[:], oz_ref[:],
             dx_ref[:], dy_ref[:], dz_ref[:],
             act_ref[:] > 0.5,
+            t_init=ti_ref[:] if with_t_init else None,
         )
         t_ref[:] = t_best
         tri_ref[:] = tri_best
@@ -712,7 +723,7 @@ def _frustum_box_test(g, col0, o_ivals, i_ivals, t_bound):
     return possible, entry_lo
 
 
-def _make_closest_kernel_frustum(leaf_k: int):
+def _make_closest_kernel_frustum(leaf_k: int, with_t_init: bool = False):
     """Frustum-interval packet traversal: internal nodes are tested with pure
     SCALAR interval arithmetic against the packet's conservative frustum — no
     vector ops, no cross-lane reductions, no lax.cond on the internal-node
@@ -721,6 +732,7 @@ def _make_closest_kernel_frustum(leaf_k: int):
     only at leaves: Möller–Trumbore needs no per-ray box mask for correctness.
     Occlusion pruning uses a scalar packet bound max_r(t_best) refreshed after
     each leaf."""
+    assert not with_t_init  # t-seeded walks are a BVH2-kernel feature
 
     def kernel(inner_ref, leaf_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                dz_ref, act_ref, t_ref, tri_ref, nx_ref, ny_ref, nz_ref, me_ref,
@@ -962,14 +974,23 @@ def _closest_out_shapes(rows):
     )
 
 
-def _run_stack_closest(kernel_maker, ws, origin, direction, active, interpret):
+def _run_stack_closest(kernel_maker, ws, origin, direction, active, interpret,
+                       t_init=None):
     n_rays = origin.shape[0]
     ox, oy, oz, dx, dy, dz, act = _ray_operands(origin, direction, active)
     rows = ox.shape[0]
+    operands = [ox, oy, oz, dx, dy, dz, act]
+    if t_init is not None:
+        ti = _as_tiles(t_init)
+        if ti.shape[0] != rows:
+            ti = jnp.pad(
+                ti, ((0, rows - ti.shape[0]), (0, 0)), constant_values=T_FAR
+            )
+        operands.append(ti)
     grid = rows // PACKET_ROWS
-    in_specs, ray_spec = _grid_specs(7)
+    in_specs, ray_spec = _grid_specs(len(operands))
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] + in_specs  # leaf table
-    kernel = kernel_maker(ws.leaf_k)
+    kernel = kernel_maker(ws.leaf_k, with_t_init=t_init is not None)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -978,7 +999,7 @@ def _run_stack_closest(kernel_maker, ws, origin, direction, active, interpret):
         out_specs=(ray_spec,) * 6,
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         interpret=interpret,
-    )(ws.inner_table, ws.leaf_table, ox, oy, oz, dx, dy, dz, act)
+    )(ws.inner_table, ws.leaf_table, *operands)
     return _decode_hit(ws, origin, direction, n_rays, *outs)
 
 
@@ -1012,11 +1033,14 @@ def _run_stack_shadow(
 
 
 def pallas_closest_hit_bvh2(
-    ws: WorldArrays, origin, direction, active, interpret: bool = False
+    ws: WorldArrays, origin, direction, active, interpret: bool = False,
+    t_init=None,
 ) -> Hit:
-    """Ordered-stack BVH2 packet traversal (per-ray consensus variant)."""
+    """Ordered-stack BVH2 packet traversal (per-ray consensus variant).
+    ``t_init``: optional (R,) upper bound on t (see bvh2_walk_closest)."""
     return _run_stack_closest(
-        _make_closest_kernel_bvh2, ws, origin, direction, active, interpret
+        _make_closest_kernel_bvh2, ws, origin, direction, active, interpret,
+        t_init=t_init,
     )
 
 

@@ -35,6 +35,17 @@ from ..packing import SceneArrays, WorldArrays, world_geometry
 from .intersect import T_FAR, face_normal, moller_trumbore, slab_test
 
 
+def _safe_inv_dir(direction):
+    """Huge-but-finite reciprocal (same trick as the Pallas kernels,
+    pallas_traverse._safe_inv): avoids the 0 * inf NaNs a plain 1/d produces
+    for axis-parallel rays with an origin on a slab plane — keeping the whole
+    path clean under jax_debug_nans. t values for degenerate axes become ~1e30
+    instead of inf; comparisons behave identically."""
+    return jnp.where(direction >= 0.0, 1.0, -1.0) / jnp.maximum(
+        jnp.abs(direction), 1e-30
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Hit:
@@ -66,7 +77,7 @@ def traverse_blas(
     leaf_size: int = 4,
 ):
     """Stackless BLAS walk. Returns (t_local (R,), tri (R,) global index or -1)."""
-    inv_dir = 1.0 / direction
+    inv_dir = _safe_inv_dir(direction)
     cur0 = jnp.where(active, 0, -1).astype(jnp.int32)
     # derive loop carries from ``direction`` (data-dependence, not just shape)
     # so they inherit shard_map varying-ness; ``origin`` can be an unvarying
@@ -137,7 +148,7 @@ def traverse_world(
     no per-instance ray transforms, one while_loop per wave regardless of
     instance count or scene size). One (R, W) record gather per step feeds the
     box test AND the (inlined) leaf triangle tests."""
-    inv_dir = 1.0 / direction
+    inv_dir = _safe_inv_dir(direction)
     cur0 = jnp.where(active, 0, -1).astype(jnp.int32)
     t0 = direction[:, 0] * 0.0 + jnp.float32(T_FAR)
     tri0 = cur0 * 0 - 1
@@ -214,7 +225,7 @@ def shadow_walk(
     through the shared edge of two coplanar transparent triangles multiplies
     both (the reference's closest-hit restart counts the surface once).
     """
-    inv_dir = 1.0 / direction
+    inv_dir = _safe_inv_dir(direction)
     cur0 = jnp.where(active, 0, -1).astype(jnp.int32)
     vis0 = direction[:, 0] * 0.0 + 1.0
     leaf_k = ws.leaf_k

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import bigscene
 from . import logging_util as log
 from .cache import cached_pack_scene, setup_compile_cache
 from .config import RenderConfig
@@ -59,12 +60,31 @@ class Renderer:
         self._accum = None
         self._accum_count = 0
 
-        if use_cache:
-            self.arrays = cached_pack_scene(scene, cfg, force_rebuild=cfg.rebuild_bvh)
-        else:
+        # Scenes beyond one tree's VMEM budget are partitioned into chunked
+        # trees (bigscene.py) so they stay on the fast packet-kernel path —
+        # the reference renders arbitrary OBJ scenes (Mesh.cpp:6-50), so must
+        # we, and the XLA gather-walk fallback is minutes per frame.
+        self.arrays_list = None
+        self._chunk_scenes = None
+        if (
+            mesh is None
+            and cfg.kernels != "xla"
+            and scene.num_triangles > bigscene.DEFAULT_CHUNK_TRIS
+        ):
+            self._chunk_scenes = bigscene.partition_scene(scene)
+
+        def _pack(s):
+            if use_cache:
+                return cached_pack_scene(s, cfg, force_rebuild=cfg.rebuild_bvh)
             from .packing import pack_scene
 
-            self.arrays = pack_scene(scene, cfg)
+            return pack_scene(s, cfg)
+
+        if self._chunk_scenes is not None:
+            self.arrays_list = tuple(_pack(s) for s in self._chunk_scenes)
+            self.arrays = self.arrays_list[0]  # overlays/picking see chunk 0
+        else:
+            self.arrays = _pack(scene)
         timer.step("Scene pack / BVH build")
 
         # jitted programs ------------------------------------------------
@@ -78,7 +98,21 @@ class Renderer:
             cfg = cfg.replace(rng="threefry")
             self.cfg = cfg
 
-        if mesh is None:
+        if self.arrays_list is not None:
+            chunk_arrays = self.arrays_list
+
+            def _full(arrays, cam, key):
+                return bigscene.render_radiance_chunked(
+                    chunk_arrays, cam, cfg, rng_key=key, with_stats=True
+                )
+
+            def _first(arrays, cam, key):
+                return bigscene.render_radiance_chunked(
+                    chunk_arrays, cam, cfg, max_bounces=first_bounces,
+                    rng_key=key, with_stats=True,
+                )
+
+        elif mesh is None:
 
             def _full(arrays, cam, key):
                 return render_radiance_with_stats(arrays, cam, cfg, rng_key=key)
@@ -104,6 +138,12 @@ class Renderer:
         self._render_full = jax.jit(_full)
         self._render_first = jax.jit(_first)
         self._preview = jax.jit(lambda arrays, cam: render_preview(arrays, cam, cfg))
+        # progressive average with the history buffer donated: the (H, W, 3)
+        # accumulator updates in place instead of allocating per frame
+        self._accum_update = jax.jit(
+            lambda accum, img, a: accum * (1.0 - a) + img * a,
+            donate_argnums=(0,),
+        )
         timer.step("Program setup")
 
         # async path-tracer compile with preview fallback (main.cpp:273-305)
@@ -162,7 +202,15 @@ class Renderer:
     # -- dynamic scene ---------------------------------------------------
     def update_transforms(self, transforms: np.ndarray) -> None:
         """Move instances without rebuilding anything (transforms are jit
-        inputs; world AABBs refit on device)."""
+        inputs; world AABBs refit on device). For chunked (large) scenes the
+        original instance order is split across chunks — mutate
+        ``scene.game_objects[i].transform`` and call ``refresh_topology()``
+        instead."""
+        if self.arrays_list is not None:
+            raise NotImplementedError(
+                "chunked scene: set scene.game_objects[i].transform and call "
+                "refresh_topology()"
+            )
         self.arrays = self.arrays.with_transforms(transforms)
         self.reset_accumulation()
 
@@ -180,6 +228,16 @@ class Renderer:
         costs one TLAS build + repack."""
         from .packing import pack_scene
 
+        if self.arrays_list is not None:
+            # chunk scenes share GameObject instances with the live scene, so
+            # current transforms are already visible; repartition + repack
+            self._chunk_scenes = bigscene.partition_scene(self.scene)
+            self.arrays_list = tuple(
+                pack_scene(s, self.cfg) for s in self._chunk_scenes
+            )
+            self.arrays = self.arrays_list[0]
+            self.reset_accumulation()
+            return
         for go, t in zip(self.scene.game_objects, np.asarray(self.arrays.transforms)):
             go.transform = np.asarray(t)
         self.arrays = pack_scene(self.scene, self.cfg)
@@ -230,8 +288,9 @@ class Renderer:
                     self._accum_count = 1
                 else:
                     self._accum_count += 1
-                    a = 1.0 / self._accum_count
-                    self._accum = self._accum * (1.0 - a) + img * a
+                    self._accum = self._accum_update(
+                        self._accum, img, jnp.float32(1.0 / self._accum_count)
+                    )
                 img = self._accum
 
         if cfg.debug_show_bvh or cfg.debug_show_lights or cfg.show_fps_overlay:

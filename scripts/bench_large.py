@@ -1,0 +1,98 @@
+"""Large-scene benchmark: a ~500k-triangle Suzanne field through the chunked
+packet-kernel path (VERDICT r1 #7 target: within 3x of the demo scene's
+Mrays/s)."""
+
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from rayzen_tpu.bigscene import partition_scene, render_radiance_chunked
+from rayzen_tpu.cache import setup_compile_cache
+from rayzen_tpu.camera import Camera
+from rayzen_tpu.config import RenderConfig
+from rayzen_tpu.demo import ASSET_DIR
+from rayzen_tpu.light import Light
+from rayzen_tpu.material import Material
+from rayzen_tpu.mesh import Mesh
+from rayzen_tpu.packing import pack_scene
+from rayzen_tpu.scene import GameObject, Scene
+from rayzen_tpu.transforms import rotation, translation
+
+setup_compile_cache(".rayzen_cache/xla")
+
+N_INSTANCES = int(sys.argv[1]) if len(sys.argv) > 1 else 520  # x968 tris
+W, H, SPP = 1920, 1080, 4
+
+monkey = Mesh.load_from_obj(os.path.join(ASSET_DIR, "monkey.obj"), 0)
+side = int(math.ceil(math.sqrt(N_INSTANCES)))
+objs = []
+for i in range(N_INSTANCES):
+    gx, gz = i % side, i // side
+    objs.append(
+        GameObject(
+            mesh=monkey,
+            transform=translation(
+                (2.2 * (gx - side / 2), 0.0, -2.2 * gz)
+            ) @ rotation(math.radians((i * 37.0) % 360.0), (0.0, 1.0, 0.0)),
+            material_override=i % 3,
+        )
+    )
+scene = Scene(
+    camera=Camera(
+        position=np.array([0.0, 6.0, 8.0], np.float32),
+        target=np.array([0.0, -0.45, -0.89], np.float32),
+        aspect_ratio=W / H,
+    ),
+    materials=[
+        Material(albedo=(0.8, 0.2, 0.2), metallic=0.1, roughness=0.4),
+        Material(albedo=(0.2, 0.8, 0.3), metallic=0.9, roughness=0.25),
+        Material(albedo=(0.9, 0.9, 0.9), metallic=1.0, roughness=0.05,
+                 reflectivity=1.0),
+    ],
+    lights=[
+        Light(position_or_direction=(5.0, 10.0, 5.0, 1.0),
+              color=(1.0, 1.0, 1.0), power=300.0),
+        Light(position_or_direction=(0.8, 1.4, 0.3, 0.0),
+              color=(1.0, 1.0, 1.0), power=2.0),
+    ],
+    game_objects=objs,
+)
+total_tris = scene.num_triangles
+print(f"# field: {N_INSTANCES} Suzannes, {total_tris} world triangles",
+      file=sys.stderr)
+
+cfg = RenderConfig(width=W, height=H, spp=SPP, max_bounces=5)
+chunks = partition_scene(scene)
+arrays_list = tuple(pack_scene(c, cfg) for c in chunks)
+cam = {k: jnp.asarray(v) for k, v in scene.camera.device_params().items()}
+
+fn = jax.jit(
+    lambda al, c: render_radiance_chunked(al, c, cfg, with_stats=True)
+)
+t0 = time.perf_counter()
+img, rays = fn(arrays_list, cam)
+np.asarray(img)
+print(f"# compile+first: {time.perf_counter() - t0:.1f} s, "
+      f"{len(chunks)} chunks", file=sys.stderr)
+
+best = float("inf")
+for _ in range(4):
+    t0 = time.perf_counter()
+    img, rays = fn(arrays_list, cam)
+    np.asarray(img)
+    best = min(best, time.perf_counter() - t0)
+mrays = int(rays) / best / 1e6
+print(f"# {total_tris} tris: {best / SPP * 1e3:.1f} ms/sample, "
+      f"{mrays:.1f} Mrays/s sustained (min of 4)", file=sys.stderr)
+from rayzen_tpu.image_io import write_png
+
+write_png("field.png", np.asarray(img))
+print(f"{mrays:.2f}")

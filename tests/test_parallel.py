@@ -84,3 +84,17 @@ def test_pallas_interpret_inside_shard_map(small_scene, small_camera, small_arra
         render_radiance_sharded(small_arrays, small_camera, cfg_p, make_mesh(8))
     )
     assert np.abs(kern - base).max() < 1e-5
+
+
+def test_megakernel_inside_shard_map(small_scene, small_camera, small_arrays):
+    # the TPU default is the full-sample megakernel; it must also run inside
+    # shard_map on each chip's ray tile (interpret mode here) and match XLA
+    cfg_x = RenderConfig(width=32, height=16, spp=1, max_bounces=2, kernels="xla")
+    cfg_m = cfg_x.replace(kernels="pallas")
+    base = np.asarray(
+        render_radiance_sharded(small_arrays, small_camera, cfg_x, make_mesh(8))
+    )
+    mega = np.asarray(
+        render_radiance_sharded(small_arrays, small_camera, cfg_m, make_mesh(8))
+    )
+    assert np.abs(mega - base).max() < 1e-4
