@@ -43,6 +43,10 @@ for spec in variants:
     wide = "+w8" in base
     dense = "+dl" in base
     base = base.replace("+oct", "").replace("+w8", "").replace("+dl", "")
+    leaf = 4
+    if "+l" in base:
+        base, _, lv = base.partition("+l")
+        leaf = int(lv)
     kern, _, mb = base.partition(":")
     mb = int(mb) if mb else 5
     from rayzen_tpu.packing import pack_scene
@@ -55,7 +59,8 @@ for spec in variants:
     for spp in (lo, hi):
         cfg = RenderConfig(width=W, height=H, spp=spp, max_bounces=mb,
                            kernels=kern, octant_bounce_walks=oct_walks,
-                           wide_nodes=wide, dense_leaves=dense)
+                           wide_nodes=wide, dense_leaves=dense,
+                           leaf_size=leaf)
         arrays = pack_scene(scene, cfg)
         fn = jax.jit(lambda a, c, cfg=cfg: render_radiance_with_stats(a, c, cfg))
         times[spp], (_, rays) = best_time(fn, arrays, cam)
