@@ -644,9 +644,12 @@ def sample_wave(
         (PACKET_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    n_lights = int(ws.lights.shape[0])
+    # zero-light scenes: the unrolled light loop vanishes (n_lights=0) but the
+    # operand must still have at least one row for pallas block mapping
+    lights = ws.lights if n_lights else jnp.zeros((1, 8), jnp.float32)
     kernel = _make_sample_kernel(
-        ws.leaf_k, int(ws.materials.shape[0]), int(ws.lights.shape[0]),
-        max_bounces, cfg,
+        ws.leaf_k, int(ws.materials.shape[0]), n_lights, max_bounces, cfg,
     )
     f32 = lambda: jax.ShapeDtypeStruct((rows, 128), jnp.float32)
     cr, cg, cb, rays_tile = pl.pallas_call(
@@ -667,7 +670,7 @@ def sample_wave(
         interpret=interpret,
     )(samp_arg, key_arg,
       ws.inner8_table if cfg.wide_nodes else ws.inner_table,
-      ws.leaf_table, ws.materials, ws.lights, cam, *tiles)
+      ws.leaf_table, ws.materials, lights, cam, *tiles)
 
     color = jnp.stack(
         [cr.reshape(-1)[:n_rays], cg.reshape(-1)[:n_rays],

@@ -43,7 +43,11 @@ for spec in variants:
     wide = "+w8" in base
     dense = "+dl" in base
     base = base.replace("+oct", "").replace("+w8", "").replace("+dl", "")
-    leaf = 4
+    rng = "reference"
+    if "+hash" in base:
+        base = base.replace("+hash", "")
+        rng = "threefry"
+    leaf = 8
     if "+l" in base:
         base, _, lv = base.partition("+l")
         leaf = int(lv)
@@ -60,7 +64,7 @@ for spec in variants:
         cfg = RenderConfig(width=W, height=H, spp=spp, max_bounces=mb,
                            kernels=kern, octant_bounce_walks=oct_walks,
                            wide_nodes=wide, dense_leaves=dense,
-                           leaf_size=leaf)
+                           leaf_size=leaf, rng=rng)
         arrays = pack_scene(scene, cfg)
         fn = jax.jit(lambda a, c, cfg=cfg: render_radiance_with_stats(a, c, cfg))
         times[spp], (_, rays) = best_time(fn, arrays, cam)

@@ -129,6 +129,60 @@ class TestSampleMegakernel:
         )
         assert np.abs(narrow - wide).max() < 1e-4
 
+    def test_light_count_variants(self, small_scene, small_camera):
+        """The kernel unrolls the light loop over the static light count —
+        exercise 0, 1, and 3 lights (point + directional mixes)."""
+        from rayzen_tpu.light import Light
+        from rayzen_tpu.packing import pack_scene
+
+        cfg = RenderConfig(width=32, height=24, spp=1, max_bounces=2)
+        base_lights = list(small_scene.lights)
+        variants = [
+            [],
+            [Light.point((4.0, 5.0, 2.0), power=100.0)],
+            base_lights + [Light.directional((0.2, 1.0, -0.4), power=1.5)],
+        ]
+        try:
+            for lights in variants:
+                small_scene.lights = lights
+                arrays = pack_scene(small_scene, cfg)
+                xla = np.asarray(
+                    render_radiance(
+                        arrays, small_camera, cfg.replace(kernels="xla")
+                    )
+                )
+                mega = np.asarray(
+                    render_radiance(
+                        arrays, small_camera, cfg.replace(kernels="pallas")
+                    )
+                )
+                assert np.abs(xla - mega).max() < 1e-4, f"{len(lights)} lights"
+        finally:
+            small_scene.lights = base_lights
+
+    def test_mirror_heavy_scene_rr(self, small_camera):
+        """All-mirror materials keep throughput ~0.95^b: Russian roulette's
+        survive-and-boost path dominates — the RR branch parity check."""
+        from rayzen_tpu.demo import build_small_scene
+        from rayzen_tpu.packing import pack_scene
+
+        scene = build_small_scene(32, 24)
+        for m in scene.materials:
+            m.reflectivity = 1.0
+            m.transparency = 0.0
+        cfg = RenderConfig(width=32, height=24, spp=1, max_bounces=5)
+        arrays = pack_scene(scene, cfg)
+        cam = {
+            k: jnp.asarray(v) for k, v in scene.camera.device_params().items()
+        }
+        xla = np.asarray(
+            render_radiance(arrays, cam, cfg.replace(kernels="xla"))
+        )
+        mega = np.asarray(
+            render_radiance(arrays, cam, cfg.replace(kernels="pallas"))
+        )
+        assert np.abs(xla - mega).max() < 1e-4
+
     def test_hash_rng_path(self, small_arrays, small_camera):
         cfg = RenderConfig(
             width=48, height=32, spp=1, max_bounces=5, rng="threefry"
