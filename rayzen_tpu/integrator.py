@@ -374,6 +374,14 @@ def render_rays(
     sampler = _make_sampler(cfg, frag, uv, cfg.width, cfg.height, rng_key)
 
     def one_sample(samp):
+        if cfg.rng == "reference":
+            # progressive keying: the sin-hash sampler is a pure function of
+            # (pixel, sample index), so frame k continues at sample k*spp —
+            # fresh samples per frame without the (TPU-slow, see PERFORMANCE
+            # .md) integer-hash path. key=0 reproduces the reference exactly.
+            samp = jnp.asarray(samp, jnp.float32) + (
+                jnp.asarray(rng_key, jnp.float32) * float(cfg.spp)
+            )
         sampler.start_sample(samp)
         jitter = sampler.camera_jitter()
         origin, direction = camera_rays.generate_rays(

@@ -637,7 +637,17 @@ def sample_wave(
         axis=0,
     )  # (9, 4)
 
-    samp_arg = jnp.asarray(samp, jnp.float32).reshape(1, 1)
+    if cfg.rng == "reference":
+        # progressive keying for the sin-hash flow: continue the sample index
+        # across frames (key = frame). Integer-hash keying exists but 32-bit
+        # integer multiplies are ~5x slower than sin under Mosaic (measured —
+        # docs/PERFORMANCE.md), so the f32 path is the accumulation default.
+        samp_arg = (
+            jnp.asarray(samp, jnp.float32)
+            + jnp.asarray(rng_key, jnp.float32) * float(cfg.spp)
+        ).reshape(1, 1)
+    else:
+        samp_arg = jnp.asarray(samp, jnp.float32).reshape(1, 1)
     key_arg = jnp.asarray(rng_key, jnp.int32).reshape(1, 1)
 
     ray_spec = pl.BlockSpec(

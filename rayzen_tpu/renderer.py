@@ -90,13 +90,11 @@ class Renderer:
         # jitted programs ------------------------------------------------
         first_bounces = max(1, cfg.first_frame_bounces)
 
-        if cfg.accumulate and cfg.rng == "reference":
-            # the reference sin-hash sampler is a pure function of the pixel, so
-            # re-rendering adds no new samples; progressive accumulation needs
-            # the keyed counter-hash sampler
-            log.info("accumulate=True: switching rng to 'threefry' for fresh samples per frame")
-            cfg = cfg.replace(rng="threefry")
-            self.cfg = cfg
+        # Progressive accumulation keys the reference sin-hash sampler by
+        # continuing the sample index across frames (integrator: samp +
+        # frame*spp) — fresh samples per frame with NO sampler switch. (The
+        # integer-hash sampler stays available via rng="threefry" but its
+        # 32-bit multiplies are ~5x slower under Mosaic; docs/PERFORMANCE.md.)
 
         if self.arrays_list is not None:
             chunk_arrays = self.arrays_list

@@ -183,6 +183,22 @@ class TestSampleMegakernel:
         )
         assert np.abs(xla - mega).max() < 1e-4
 
+    def test_reference_rng_progressive_keying(self, small_arrays, small_camera):
+        """Accumulation keys the sin-hash flow by continuing the sample index
+        across frames: different keys give different (but matched XLA==mega)
+        images; key=0 reproduces the unkeyed reference flow."""
+        from rayzen_tpu.integrator import render_radiance as rr
+
+        cfg = RenderConfig(width=32, height=24, spp=1, max_bounces=2)
+        k0_x = np.asarray(rr(small_arrays, small_camera,
+                             cfg.replace(kernels="xla"), rng_key=0))
+        k1_x = np.asarray(rr(small_arrays, small_camera,
+                             cfg.replace(kernels="xla"), rng_key=1))
+        k1_m = np.asarray(rr(small_arrays, small_camera,
+                             cfg.replace(kernels="pallas"), rng_key=1))
+        assert not np.allclose(k0_x, k1_x)  # fresh samples per frame
+        assert np.abs(k1_x - k1_m).max() < 1e-4  # keyed paths agree
+
     def test_hash_rng_path(self, small_arrays, small_camera):
         cfg = RenderConfig(
             width=48, height=32, spp=1, max_bounces=5, rng="threefry"
