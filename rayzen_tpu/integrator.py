@@ -342,30 +342,11 @@ def render_rays(
             else active.astype(bool)
         )
         on_cpu = jax.default_backend() == "cpu"
-
-        def mega_sample(samp):
-            return megakernel.sample_wave(
-                ws, cfg, uv, act, camera_params, samp, rng_key, max_bounces,
-                interpret=on_cpu,
-            )
-
-        total = jnp.zeros((frag.shape[0], 3), dtype=jnp.float32)
-        rays_traced = jnp.int32(0)
-        if cfg.spp <= 2:
-            for samp in range(cfg.spp):
-                radiance, rays = mega_sample(samp)
-                total = total + radiance
-                rays_traced = rays_traced + rays
-        else:
-
-            def body(samp, carry):
-                total, rays_traced = carry
-                radiance, rays = mega_sample(samp)
-                return total + radiance, rays_traced + rays
-
-            total, rays_traced = jax.lax.fori_loop(
-                0, cfg.spp, body, (total, rays_traced)
-            )
+        # all spp accumulate INSIDE the kernel (one pallas_call per frame)
+        total, rays_traced = megakernel.sample_wave(
+            ws, cfg, uv, act, camera_params, 0, rng_key, max_bounces,
+            interpret=on_cpu, n_samples=cfg.spp,
+        )
         color = jnp.clip(total / float(cfg.spp), 0.0, 1.0)  # glsl:772-773
         if with_stats:
             return color, rays_traced

@@ -458,13 +458,17 @@ def _direct_lighting_tiles(
 
 
 def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
-                        max_bounces: int, cfg: RenderConfig):
-    """One full path-tracing sample per packet: raygen, primary hit, direct
+                        max_bounces: int, cfg: RenderConfig,
+                        n_samples: int = 1):
+    """Full path-tracing samples per packet: raygen, primary hit, direct
     lighting (with in-kernel shadow walks), scatter, and the bounce loop —
     the reference megakernel main() (fragment_shader.glsl:668-822) reshaped
-    into packet form. Ref order:
+    into packet form. ``n_samples`` samples accumulate INSIDE the kernel
+    (fori over the sample index), so one pallas_call serves a whole
+    progressive batch: per-call pipeline spin-up amortizes and the traversal
+    tables stay hot in VMEM across samples. Ref order:
     samp | key | inner | leaf | materials | lights | cam | u v act
-    -> cr cg cb rays, scratch: SMEM stack."""
+    -> cr cg cb rays (sums over samples), scratch: SMEM stack."""
     rng = cfg.rng if cfg.rng == "reference" else "hash"
     sky_h, sky_z = cfg.sky_horizon, cfg.sky_zenith
     rr_start = cfg.rr_start_bounce
@@ -490,105 +494,114 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
         u, v = u_ref[:], v_ref[:]
         act = act_ref[:]
 
-        # ---- per-ray sampler state, derived in-kernel from uv ----
-        if rng == "reference":
-            # seed = uv * (fragX + fragY + samp + 1) (glsl:688); frag = floor
-            # of uv*res + 0.5, i.e. fragX + fragY = floor(u*W)+floor(v*H)+1
-            samp_f = samp_ref[0, 0]
-            scale = jnp.floor(u * width) + jnp.floor(v * height) + 1.0 + (samp_f + 1.0)
-            s0 = u * scale
-            s1 = v * scale
-            jx = _ref_rand(s0, s1) * 0.00002
-            jy = _ref_rand(s0 + 1.0, s1 + 1.0) * 0.00002
-        else:
-            samp_f = samp_ref[0, 0]
-            # f32 -> i32 -> u32: Mosaic has no direct f32 -> u32 cast
-            pixel_id = (
-                jnp.floor(v * height).astype(jnp.int32).astype(jnp.uint32)
-                * jnp.uint32(width * 2)
-                + jnp.floor(u * width).astype(jnp.int32).astype(jnp.uint32)
-            )
-            key_h = _hash_u32(
-                key_ref[0, 0].astype(jnp.uint32) + jnp.uint32(0x9E3779B9)
-            )
-            s0 = _hash_u32(pixel_id ^ key_h)
-            s1 = jnp.zeros_like(u)
-            base0 = s0  # jitter draws at bounce 0, dims 0/1 (HashSampler)
-            samp_u = samp_f.astype(jnp.int32).astype(jnp.uint32)
-            jbase = base0 + samp_u * jnp.uint32(7919)
-            jx = (_u32_to_unit_float(_hash_u32(jbase + jnp.uint32(0))) - 0.5) / width
-            jy = (_u32_to_unit_float(_hash_u32(jbase + jnp.uint32(1))) - 0.5) / height
+        def one_sample(samp_i, acc):
+            samp_f = samp_ref[0, 0] + samp_i.astype(jnp.float32)
+            # ---- per-ray sampler state, derived in-kernel from uv ----
+            if rng == "reference":
+                # seed = uv * (fragX + fragY + samp + 1) (glsl:688); frag =
+                # floor(uv*res) + 0.5, so fragX+fragY = floor(u*W)+floor(v*H)+1
+                scale = (
+                    jnp.floor(u * width) + jnp.floor(v * height) + 1.0
+                    + (samp_f + 1.0)
+                )
+                s0 = u * scale
+                s1 = v * scale
+                jx = _ref_rand(s0, s1) * 0.00002
+                jy = _ref_rand(s0 + 1.0, s1 + 1.0) * 0.00002
+            else:
+                # f32 -> i32 -> u32: Mosaic has no direct f32 -> u32 cast
+                pixel_id = (
+                    jnp.floor(v * height).astype(jnp.int32).astype(jnp.uint32)
+                    * jnp.uint32(width * 2)
+                    + jnp.floor(u * width).astype(jnp.int32).astype(jnp.uint32)
+                )
+                key_h = _hash_u32(
+                    key_ref[0, 0].astype(jnp.uint32) + jnp.uint32(0x9E3779B9)
+                )
+                s0 = _hash_u32(pixel_id ^ key_h)
+                s1 = jnp.zeros_like(u)
+                samp_u = samp_f.astype(jnp.int32).astype(jnp.uint32)
+                jbase = s0 + samp_u * jnp.uint32(7919)
+                jx = (_u32_to_unit_float(_hash_u32(jbase + jnp.uint32(0))) - 0.5) / width
+                jy = (_u32_to_unit_float(_hash_u32(jbase + jnp.uint32(1))) - 0.5) / height
 
-        draws_fn = _make_draws_fn(rng, s0, s1, samp_ref[0, 0])
+            draws_fn = _make_draws_fn(rng, s0, s1, samp_f)
 
         # ---- bounce 0 (peeled: the only bounce with direct lighting) ----
-        ox, oy, oz, dx, dy, dz = _raygen_tiles(u, v, jx, jy, cam_ref)
-        rays = act + jnp.zeros_like(u)
-        t, _tri, cnx, cny, cnz, menc = walk_closest(
-            inner_ref, leaf_ref, stack_ref, leaf_k,
-            ox, oy, oz, dx, dy, dz, act > 0.5,
-        )
-        found = menc != 0.0
-        missed = (act > 0.5) & ~found
-        sky_t = 0.5 * (dy + 1.0)
-        cr = jnp.where(missed, sky_h[0] + (sky_z[0] - sky_h[0]) * sky_t, 0.0)
-        cg = jnp.where(missed, sky_h[1] + (sky_z[1] - sky_h[1]) * sky_t, 0.0)
-        cb = jnp.where(missed, sky_h[2] + (sky_z[2] - sky_h[2]) * sky_t, 0.0)
-        alive = jnp.where(found, act, 0.0)
+            ox, oy, oz, dx, dy, dz = _raygen_tiles(u, v, jx, jy, cam_ref)
+            rays = act + jnp.zeros_like(u)
+            t, _tri, cnx, cny, cnz, menc = walk_closest(
+                inner_ref, leaf_ref, stack_ref, leaf_k,
+                ox, oy, oz, dx, dy, dz, act > 0.5,
+            )
+            found = menc != 0.0
+            missed = (act > 0.5) & ~found
+            sky_t = 0.5 * (dy + 1.0)
+            cr = jnp.where(missed, sky_h[0] + (sky_z[0] - sky_h[0]) * sky_t, 0.0)
+            cg = jnp.where(missed, sky_h[1] + (sky_z[1] - sky_h[1]) * sky_t, 0.0)
+            cb = jnp.where(missed, sky_h[2] + (sky_z[2] - sky_h[2]) * sky_t, 0.0)
+            alive = jnp.where(found, act, 0.0)
 
-        sgn = jnp.where(menc < 0.0, -1.0, 1.0)
-        nn = jnp.maximum(jnp.sqrt(cnx * cnx + cny * cny + cnz * cnz), 1e-20)
-        nx, ny, nz = cnx / nn * sgn, cny / nn * sgn, cnz / nn * sgn
-        mat_f = jnp.abs(menc) - 1.0
-        ar, ag, ab, metal, rough, refl, transp, mat_ior = _material_columns(
-            mat_ref, n_mats, mat_f
-        )
-
-        px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
-        vx, vy, vz = _normalize(
-            cam_ref[8, 0] - px, cam_ref[8, 1] - py, cam_ref[8, 2] - pz, 1e-20
-        )
-        dr, dgg, db, lrays = _direct_lighting_tiles(
-            inner_ref, leaf_ref, light_ref, stack_ref, leaf_k, n_lights,
-            cfg.shadow_min_visibility, 1e-3, cfg.ambient,
-            px, py, pz, nx, ny, nz, vx, vy, vz, alive,
-            ar, ag, ab, metal, rough, transp, mat_ior,
-            walk_shadow=walk_shadow,
-        )
-        rays = rays + lrays
-        cr = cr + jnp.where(alive > 0.5, dr, 0.0)
-        cg = cg + jnp.where(alive > 0.5, dgg, 0.0)
-        cb = cb + jnp.where(alive > 0.5, db, 0.0)
-
-        # bounce-0 scatter (throughput starts at 1)
-        rand_val, hemi_u, hemi_v = draws_fn(jnp.int32(0))
-        ndx, ndy, ndz, tx, ty, tz, ior = _scatter_tiles(
-            dx, dy, dz, nx, ny, nz, jnp.ones_like(u), rand_val, hemi_u, hemi_v,
-            ar, ag, ab, refl, transp, mat_ior,
-        )
-        push = jnp.where(ndx * nx + ndy * ny + ndz * nz > 0.0, 0.003, -0.003)
-        ox, oy, oz = px + nx * push, py + ny * push, pz + nz * push
-        dx, dy, dz = ndx, ndy, ndz
-
-        # ---- bounces 1..N-1 ----
-        if max_bounces > 1:
-            bounce = _make_bounce_body(
-                inner_ref, leaf_ref, mat_ref, stack_ref, leaf_k, n_mats,
-                max_bounces, rr_start, sky_h, sky_z, draws_fn,
-                octant_walks=cfg.octant_bounce_walks,
-                walk_closest=walk_closest,
+            sgn = jnp.where(menc < 0.0, -1.0, 1.0)
+            nn = jnp.maximum(jnp.sqrt(cnx * cnx + cny * cny + cnz * cnz), 1e-20)
+            nx, ny, nz = cnx / nn * sgn, cny / nn * sgn, cnz / nn * sgn
+            mat_f = jnp.abs(menc) - 1.0
+            ar, ag, ab, metal, rough, refl, transp, mat_ior = _material_columns(
+                mat_ref, n_mats, mat_f
             )
 
-            def cond(carry):
-                return (carry[0] < max_bounces) & (jnp.sum(carry[11]) > 0.0)
-
-            out = jax.lax.while_loop(
-                cond, bounce,
-                (jnp.int32(1), ox, oy, oz, dx, dy, dz, tx, ty, tz, ior,
-                 alive, cr, cg, cb, rays),
+            px, py, pz = ox + dx * t, oy + dy * t, oz + dz * t
+            vx, vy, vz = _normalize(
+                cam_ref[8, 0] - px, cam_ref[8, 1] - py, cam_ref[8, 2] - pz, 1e-20
             )
-            cr, cg, cb, rays = out[12], out[13], out[14], out[15]
+            dr, dgg, db, lrays = _direct_lighting_tiles(
+                inner_ref, leaf_ref, light_ref, stack_ref, leaf_k, n_lights,
+                cfg.shadow_min_visibility, 1e-3, cfg.ambient,
+                px, py, pz, nx, ny, nz, vx, vy, vz, alive,
+                ar, ag, ab, metal, rough, transp, mat_ior,
+                walk_shadow=walk_shadow,
+            )
+            rays = rays + lrays
+            cr = cr + jnp.where(alive > 0.5, dr, 0.0)
+            cg = cg + jnp.where(alive > 0.5, dgg, 0.0)
+            cb = cb + jnp.where(alive > 0.5, db, 0.0)
 
+            # bounce-0 scatter (throughput starts at 1)
+            rand_val, hemi_u, hemi_v = draws_fn(jnp.int32(0))
+            ndx, ndy, ndz, tx, ty, tz, ior = _scatter_tiles(
+                dx, dy, dz, nx, ny, nz, jnp.ones_like(u), rand_val, hemi_u,
+                hemi_v, ar, ag, ab, refl, transp, mat_ior,
+            )
+            push = jnp.where(ndx * nx + ndy * ny + ndz * nz > 0.0, 0.003, -0.003)
+            ox, oy, oz = px + nx * push, py + ny * push, pz + nz * push
+            dx, dy, dz = ndx, ndy, ndz
+
+            # ---- bounces 1..N-1 ----
+            if max_bounces > 1:
+                bounce = _make_bounce_body(
+                    inner_ref, leaf_ref, mat_ref, stack_ref, leaf_k, n_mats,
+                    max_bounces, rr_start, sky_h, sky_z, draws_fn,
+                    octant_walks=cfg.octant_bounce_walks,
+                    walk_closest=walk_closest,
+                )
+
+                def cond(carry):
+                    return (carry[0] < max_bounces) & (jnp.sum(carry[11]) > 0.0)
+
+                out = jax.lax.while_loop(
+                    cond, bounce,
+                    (jnp.int32(1), ox, oy, oz, dx, dy, dz, tx, ty, tz, ior,
+                     alive, cr, cg, cb, rays),
+                )
+                cr, cg, cb, rays = out[12], out[13], out[14], out[15]
+
+            acr, acg, acb, arays = acc
+            return acr + cr, acg + cg, acb + cb, arays + rays
+
+        zero = jnp.zeros(u.shape, jnp.float32)
+        cr, cg, cb, rays = jax.lax.fori_loop(
+            0, n_samples, one_sample, (zero, zero, zero, zero)
+        )
         cr_ref[:] = cr
         cg_ref[:] = cg
         cb_ref[:] = cb
@@ -603,15 +616,17 @@ def sample_wave(
     uv,  # (R, 2) in [0, 1], packet-tile order
     active,  # (R,) bool
     camera_params: dict,  # inv_proj/inv_view (4,4), position (3,)
-    samp,  # () traced sample index
-    rng_key,  # () RNG stream key (hash sampler)
+    samp,  # () traced base sample index
+    rng_key,  # () RNG stream key
     max_bounces: int,
     interpret: bool = False,
+    n_samples: int = 1,
 ):
-    """Trace one full sample for the whole wave in ONE pallas_call: raygen +
-    primary + direct lighting + shadows + bounce loop. Only the tiny uv/act
-    tiles cross the XLA<->kernel boundary, eliminating the padded-layout glue
-    entirely. Returns (color (R, 3), rays ())."""
+    """Trace ``n_samples`` full samples for the whole wave in ONE pallas_call:
+    raygen + primary + direct lighting + shadows + bounce loop, samples
+    accumulating in-kernel. Only the tiny uv/act tiles cross the XLA<->kernel
+    boundary, eliminating the padded-layout glue entirely. Returns
+    (color sum over samples (R, 3), rays ())."""
     n_rays = uv.shape[0]
     tiles = [
         _as_tiles(uv[:, 0]),
@@ -660,6 +675,7 @@ def sample_wave(
     lights = ws.lights if n_lights else jnp.zeros((1, 8), jnp.float32)
     kernel = _make_sample_kernel(
         ws.leaf_k, int(ws.materials.shape[0]), n_lights, max_bounces, cfg,
+        n_samples=n_samples,
     )
     f32 = lambda: jax.ShapeDtypeStruct((rows, 128), jnp.float32)
     cr, cg, cb, rays_tile = pl.pallas_call(
