@@ -35,6 +35,8 @@ _ARRAY_FIELDS = [
     "node_leaf_tri",
     "bvh2_child_node", "bvh2_child_ref", "bvh2_child_count", "bvh2_leaf_node",
     "bvh8_child_node", "bvh8_child_ref", "bvh8_child_count",
+    "top_child_node", "top_child_ref", "top_child_count",
+    "tre_child_node", "tre_child_ref", "tre_child_count", "tre_leaf_src",
     "materials", "lights",
 ]
 
@@ -62,7 +64,10 @@ def load_scene_arrays(path: str) -> SceneArrays:
 
 
 def scene_cache_key(scene: Scene, cfg: RenderConfig) -> str:
-    return f"{scene.geometry_hash()}_{cfg.leaf_size}_{cfg.split_method}"
+    return (
+        f"{scene.geometry_hash()}_{cfg.leaf_size}_{cfg.split_method}"
+        f"_{cfg.tiered}_{cfg.treelet_rows}"
+    )
 
 
 def cached_pack_scene(

@@ -74,6 +74,16 @@ class RenderConfig:
     # compact screen region; 64x64 = 4096 pixels = one Pallas packet.
     packet_tile: int = 64
 
+    # Tiered (HBM-streamed treelet) traversal: scenes whose single-tree tables
+    # exceed the VMEM budget keep a small top tree resident and DMA fixed-size
+    # treelet blocks on demand (packing._build_treelets, ops/pallas_traverse
+    # tiered walks). "auto" enables it past the budget; "on" forces it (tests);
+    # "off" disables (falls back to chunked/bigscene or the XLA path).
+    tiered: str = "auto"
+    # Rows per treelet block (both inner rows and leaf rows; block bytes =
+    # 2 * rows * 512). 64 -> ~64 KB of scratch, ~512 triangles per treelet.
+    treelet_rows: int = 64
+
     # Megakernel BVH2 leaf handling: process both children's leaf triangles
     # masked-dense every traversal step instead of gating on lax.conds (a
     # Mosaic cond costs ~2 us; 2*leaf_size masked Moller-Trumbore tests ~1 us).

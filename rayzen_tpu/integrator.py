@@ -317,16 +317,22 @@ def render_rays(
         # Pallas kernels keep the whole tree's tables in VMEM; Mosaic's scoped
         # working set runs ~3.5-4x the raw table bytes (measured on v5e OOM
         # dumps), so with 16 MB of VMEM the tables must stay under ~4 MB.
-        # Bigger single trees fall back to the XLA path — but the Renderer
-        # chunks such scenes first (bigscene.py), so this is a last resort
-        # for direct render_rays callers.
-        n_inner = int(arrays.bvh2_child_node.shape[0])
-        n_leaves = int(arrays.bvh2_leaf_node.shape[0])
-        leaf_w = ((11 * cfg.leaf_size + 2 + 7) // 8) * 8
-        table_bytes = 4 * (n_inner * 16 + n_leaves * leaf_w)
-        if table_bytes > int(3.5 * 1024 * 1024):
-            trace_fn = shadow_fn = trace_primary_fn = None
-            use_mega = False
+        # Past that, the tiered (HBM-streamed treelet) megakernel takes over
+        # when the pack built the treelet view; otherwise fall back to the XLA
+        # path (the Renderer chunks such scenes first, bigscene.py).
+        from .packing import SINGLE_TREE_VMEM_BUDGET, single_tree_table_bytes
+
+        table_bytes = single_tree_table_bytes(
+            int(arrays.bvh2_child_node.shape[0]),
+            int(arrays.bvh2_leaf_node.shape[0]),
+            cfg.leaf_size,
+        )
+        if table_bytes > SINGLE_TREE_VMEM_BUDGET:
+            if int(arrays.tre_child_node.shape[1]) > 1:  # tiered view built
+                use_mega = True
+            else:
+                trace_fn = shadow_fn = trace_primary_fn = None
+                use_mega = False
     ws = world_geometry(arrays)  # one refit per frame, shared by all waves
 
     if use_mega:

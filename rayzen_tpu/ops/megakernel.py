@@ -41,6 +41,8 @@ from .pallas_traverse import (
     bvh2_walk_shadow,
     bvh8_walk_closest,
     bvh8_walk_shadow,
+    tiered_walk_closest,
+    tiered_walk_shadow,
 )
 
 PI_REF = 3.14159  # glsl:197 (shade.py keeps the same literal)
@@ -208,8 +210,7 @@ def _scatter_tiles(dx, dy, dz, nx, ny, nz, cur_ior, rand_val, hemi_u, hemi_v,
 # ---- the kernels -------------------------------------------------------------
 
 
-def _octant_masked_walk(inner_ref, leaf_ref, stack_ref, leaf_k,
-                        ox, oy, oz, dx, dy, dz, act):
+def _octant_masked_walk(closest_fn, ox, oy, oz, dx, dy, dz, act):
     """Closest hit via 8 masked sub-walks, one per direction octant.
 
     Incoherent bounce packets make consensus traversal visit the union of all
@@ -227,10 +228,7 @@ def _octant_masked_walk(inner_ref, leaf_ref, stack_ref, leaf_k,
     def body(k, acc):
         t_a, tri_a, nx_a, ny_a, nz_a, me_a = acc
         sel = act & (octv == k)
-        t, tri, nx, ny, nz, me = bvh2_walk_closest(
-            inner_ref, leaf_ref, stack_ref, leaf_k,
-            ox, oy, oz, dx, dy, dz, sel,
-        )
+        t, tri, nx, ny, nz, me = closest_fn(ox, oy, oz, dx, dy, dz, sel)
         return (
             jnp.where(sel, t, t_a), jnp.where(sel, tri, tri_a),
             jnp.where(sel, nx, nx_a), jnp.where(sel, ny, ny_a),
@@ -248,13 +246,16 @@ def _octant_masked_walk(inner_ref, leaf_ref, stack_ref, leaf_k,
     return jax.lax.fori_loop(0, 8, body, init)
 
 
-def _make_bounce_body(inner_ref, leaf_ref, mat_ref, stack_ref, leaf_k, n_mats,
+def _make_bounce_body(closest_fn, mat_ref, n_mats,
                       max_bounces, rr_start, sky_h, sky_z, draws_fn,
-                      octant_walks: bool = False,
-                      walk_closest=bvh2_walk_closest):
+                      octant_walks: bool = False):
     """Shared per-bounce step (trace -> sky -> scatter -> RR) operating on the
-    carry (b, o, d, throughput, ior, alive, color, rays) of VMEM tiles."""
-    walk = _octant_masked_walk if octant_walks else walk_closest
+    carry (b, o, d, throughput, ior, alive, color, rays) of VMEM tiles.
+    ``closest_fn(ox, oy, oz, dx, dy, dz, act)`` is the bound traversal walk."""
+    if octant_walks:
+        walk = lambda *a: _octant_masked_walk(closest_fn, *a)
+    else:
+        walk = closest_fn
 
     def bounce(carry):
         (b, ox, oy, oz, dx, dy, dz, tx, ty, tz, ior, alive,
@@ -262,7 +263,6 @@ def _make_bounce_body(inner_ref, leaf_ref, mat_ref, stack_ref, leaf_k, n_mats,
         rays = rays + alive  # traced-ray tally (summed outside)
 
         t, _tri, cnx, cny, cnz, menc = walk(
-            inner_ref, leaf_ref, stack_ref, leaf_k,
             ox, oy, oz, dx, dy, dz, alive > 0.5,
         )
         found = menc != 0.0
@@ -358,11 +358,10 @@ def _raygen_tiles(u, v, jx, jy, cam_ref):
 
 
 def _direct_lighting_tiles(
-    inner_ref, leaf_ref, light_ref, stack_ref, leaf_k, n_lights,
-    min_vis, shadow_eps, ambient,
+    shadow_fn, light_ref, n_lights,
+    min_vis, ambient,
     px, py, pz, nx, ny, nz, vx, vy, vz, alive,
     ar, ag, ab, metallic, roughness, transp, mat_ior,
-    walk_shadow=bvh2_walk_shadow,
 ):
     """In-kernel calculateLighting (glsl:569-663) with transmission shadow
     walks — tile-wise port of shade.direct_lighting. Returns (radiance rgb,
@@ -400,8 +399,7 @@ def _direct_lighting_tiles(
         max_dist = jnp.where(is_point, dist, jnp.full_like(dist, 1e30))
 
         rays = rays + alive
-        vis = walk_shadow(
-            inner_ref, leaf_ref, stack_ref, leaf_k, min_vis, shadow_eps,
+        vis = shadow_fn(
             px + ldx * 0.001, py + ldy * 0.001, pz + ldz * 0.001,
             ldx, ldy, ldz, max_dist, alive > 0.5,
         )
@@ -459,7 +457,7 @@ def _direct_lighting_tiles(
 
 def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
                         max_bounces: int, cfg: RenderConfig,
-                        n_samples: int = 1):
+                        n_samples: int = 1, tiered: bool = False):
     """Full path-tracing samples per packet: raygen, primary hit, direct
     lighting (with in-kernel shadow walks), scatter, and the bounce loop —
     the reference megakernel main() (fragment_shader.glsl:668-822) reshaped
@@ -487,10 +485,48 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
         walk_shadow = functools.partial(
             bvh2_walk_shadow, dense_leaves=cfg.dense_leaves
         )
+    min_vis, shadow_eps = cfg.shadow_min_visibility, 1e-3
 
-    def kernel(samp_ref, key_ref, inner_ref, leaf_ref, mat_ref, light_ref,
-               cam_ref, u_ref, v_ref, act_ref,
-               cr_ref, cg_ref, cb_ref, rays_ref, stack_ref):
+    def kernel(samp_ref, key_ref, *refs):
+        # bind the traversal walks to this call's refs; the rest of the kernel
+        # only sees closest_fn(rays..., act) / shadow_fn(rays..., maxd, act)
+        if tiered:
+            (top_ref, tre_inner_ref, tre_leaf_ref, mat_ref, light_ref,
+             cam_ref, u_ref, v_ref, act_ref,
+             cr_ref, cg_ref, cb_ref, rays_ref,
+             stack_ref, stack2_ref, scr_inner, scr_leaf, sem_i, sem_l) = refs
+
+            def closest_fn(*rays_act):
+                return tiered_walk_closest(
+                    top_ref, tre_inner_ref, tre_leaf_ref, stack_ref,
+                    stack2_ref, scr_inner, scr_leaf, sem_i, sem_l, leaf_k,
+                    *rays_act, dense_leaves=cfg.dense_leaves,
+                )
+
+            def shadow_fn(*rays_md_act):
+                return tiered_walk_shadow(
+                    top_ref, tre_inner_ref, tre_leaf_ref, stack_ref,
+                    stack2_ref, scr_inner, scr_leaf, sem_i, sem_l, leaf_k,
+                    min_vis, shadow_eps, *rays_md_act,
+                    dense_leaves=cfg.dense_leaves,
+                )
+
+        else:
+            (inner_ref, leaf_ref, mat_ref, light_ref, cam_ref,
+             u_ref, v_ref, act_ref,
+             cr_ref, cg_ref, cb_ref, rays_ref, stack_ref) = refs
+
+            def closest_fn(*rays_act):
+                return walk_closest(
+                    inner_ref, leaf_ref, stack_ref, leaf_k, *rays_act
+                )
+
+            def shadow_fn(*rays_md_act):
+                return walk_shadow(
+                    inner_ref, leaf_ref, stack_ref, leaf_k, min_vis,
+                    shadow_eps, *rays_md_act
+                )
+
         u, v = u_ref[:], v_ref[:]
         act = act_ref[:]
 
@@ -530,9 +566,8 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
         # ---- bounce 0 (peeled: the only bounce with direct lighting) ----
             ox, oy, oz, dx, dy, dz = _raygen_tiles(u, v, jx, jy, cam_ref)
             rays = act + jnp.zeros_like(u)
-            t, _tri, cnx, cny, cnz, menc = walk_closest(
-                inner_ref, leaf_ref, stack_ref, leaf_k,
-                ox, oy, oz, dx, dy, dz, act > 0.5,
+            t, _tri, cnx, cny, cnz, menc = closest_fn(
+                ox, oy, oz, dx, dy, dz, act > 0.5
             )
             found = menc != 0.0
             missed = (act > 0.5) & ~found
@@ -555,11 +590,10 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
                 cam_ref[8, 0] - px, cam_ref[8, 1] - py, cam_ref[8, 2] - pz, 1e-20
             )
             dr, dgg, db, lrays = _direct_lighting_tiles(
-                inner_ref, leaf_ref, light_ref, stack_ref, leaf_k, n_lights,
-                cfg.shadow_min_visibility, 1e-3, cfg.ambient,
+                shadow_fn, light_ref, n_lights,
+                min_vis, cfg.ambient,
                 px, py, pz, nx, ny, nz, vx, vy, vz, alive,
                 ar, ag, ab, metal, rough, transp, mat_ior,
-                walk_shadow=walk_shadow,
             )
             rays = rays + lrays
             cr = cr + jnp.where(alive > 0.5, dr, 0.0)
@@ -579,10 +613,9 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
             # ---- bounces 1..N-1 ----
             if max_bounces > 1:
                 bounce = _make_bounce_body(
-                    inner_ref, leaf_ref, mat_ref, stack_ref, leaf_k, n_mats,
+                    closest_fn, mat_ref, n_mats,
                     max_bounces, rr_start, sky_h, sky_z, draws_fn,
                     octant_walks=cfg.octant_bounce_walks,
-                    walk_closest=walk_closest,
                 )
 
                 def cond(carry):
@@ -673,10 +706,39 @@ def sample_wave(
     # zero-light scenes: the unrolled light loop vanishes (n_lights=0) but the
     # operand must still have at least one row for pallas block mapping
     lights = ws.lights if n_lights else jnp.zeros((1, 8), jnp.float32)
+    tiered = bool(ws.tiered) and not cfg.wide_nodes
     kernel = _make_sample_kernel(
         ws.leaf_k, int(ws.materials.shape[0]), n_lights, max_bounces, cfg,
-        n_samples=n_samples,
+        n_samples=n_samples, tiered=tiered,
     )
+    if tiered:
+        # top tree in VMEM; treelet blocks stay in HBM (DMA'd by the walks)
+        table_operands = (ws.top_table, ws.tre_inner, ws.tre_leaf)
+        table_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        si = int(ws.tre_inner.shape[1])
+        sl = int(ws.tre_leaf.shape[1])
+        scratch = [
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((si, 128), jnp.float32),
+            pltpu.VMEM((sl, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        table_operands = (
+            ws.inner8_table if cfg.wide_nodes else ws.inner_table,
+            ws.leaf_table,
+        )
+        table_specs = [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        scratch = [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
     f32 = lambda: jax.ShapeDtypeStruct((rows, 128), jnp.float32)
     cr, cg, cb, rays_tile = pl.pallas_call(
         kernel,
@@ -685,18 +747,16 @@ def sample_wave(
         in_specs=[
             smem_scalar,
             smem_scalar,
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + table_specs + [
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ] + [ray_spec] * 3,
         out_specs=(ray_spec,) * 4,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(samp_arg, key_arg,
-      ws.inner8_table if cfg.wide_nodes else ws.inner_table,
-      ws.leaf_table, ws.materials, lights, cam, *tiles)
+    )(samp_arg, key_arg, *table_operands,
+      ws.materials, lights, cam, *tiles)
 
     color = jnp.stack(
         [cr.reshape(-1)[:n_rays], cg.reshape(-1)[:n_rays],

@@ -224,7 +224,7 @@ STACK_DEPTH = 128  # max tree depth for the ordered stack kernels
 
 def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
                       ox, oy, oz, dx, dy, dz, act, dense_leaves: bool = False,
-                      t_init=None):
+                      t_init=None, init_state=None):
     """In-kernel ordered-stack closest-hit walk (shared by the BVH2 packet
     kernel and the bounce megakernel). Each iteration pops one internal node,
     tests BOTH children's boxes (stored in the parent row), processes leaf
@@ -245,11 +245,16 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
     ignored and its value prunes box tests from the first step (used by the
     chunked large-scene path to carry the best hit across chunk trees)."""
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-    t0 = (
-        jnp.full(ox.shape, T_FAR, jnp.float32) if t_init is None else t_init
-    )
-    tri0 = jnp.full(ox.shape, -1, jnp.int32)
-    z0 = jnp.zeros(ox.shape, jnp.float32)
+    if init_state is not None:
+        # continue an earlier walk (tiered treelets / chunked trees): best hit
+        # so far seeds both the result and the t-pruning bound
+        t0, tri0, nx0, ny0, nz0, me0 = init_state
+    else:
+        t0 = (
+            jnp.full(ox.shape, T_FAR, jnp.float32) if t_init is None else t_init
+        )
+        tri0 = jnp.full(ox.shape, -1, jnp.int32)
+        nx0 = ny0 = nz0 = me0 = jnp.zeros(ox.shape, jnp.float32)
     stack_ref[0] = jnp.int32(0)  # root inner node
 
     def leaf_proc(leaf_idx, hitmask, t_best, tri_best, nx, ny, nz, menc):
@@ -343,7 +348,7 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
         return sp, t_best, tri_best, nx, ny, nz, menc
 
     return jax.lax.while_loop(
-        cond, body, (jnp.int32(1), t0, tri0, z0, z0, z0, z0)
+        cond, body, (jnp.int32(1), t0, tri0, nx0, ny0, nz0, me0)
     )[1:]
 
 
@@ -376,7 +381,7 @@ def _make_closest_kernel_bvh2(leaf_k: int, with_t_init: bool = False):
 def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
                      min_visibility, t_eps,
                      ox, oy, oz, dx, dy, dz, maxd, act,
-                     dense_leaves: bool = False):
+                     dense_leaves: bool = False, vis_init=None):
     """In-kernel ordered-stack transmission walk (shared by the BVH2 shadow
     kernel and the sample megakernel). Returns the (tile-shaped) visibility:
     product of surface transparencies within (t_eps, maxd), 0 past an opaque
@@ -388,7 +393,7 @@ def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
     ray is below the floor no box test passes, so the stack drains on its own
     in a handful of cheap iterations."""
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-    vis0 = jnp.ones(ox.shape, jnp.float32)
+    vis0 = jnp.ones(ox.shape, jnp.float32) if vis_init is None else vis_init
     stack_ref[0] = jnp.int32(0)
 
     def leaf_proc(leaf_idx, hitmask, vis):
@@ -667,6 +672,166 @@ def bvh8_walk_shadow(inner8_ref, leaf_ref, stack_ref, leaf_k,
         return sp, vis
 
     return jax.lax.while_loop(cond, body, (jnp.int32(1), vis0))[1]
+
+
+def tiered_walk_closest(top_ref, tre_inner_ref, tre_leaf_ref,
+                        stack_ref, stack2_ref, scr_inner, scr_leaf,
+                        sem_i, sem_l, leaf_k,
+                        ox, oy, oz, dx, dy, dz, act,
+                        dense_leaves: bool = False):
+    """Closest-hit walk over the tiered (HBM-streamed treelet) view: the small
+    top tree (inner_table format; child count -2 = treelet reference) stays in
+    VMEM, and each hit treelet's fixed-size inner/leaf blocks are DMA'd from
+    HBM into scratch under a lax.cond, then walked with the ordinary BVH2
+    ordered-stack walk seeded with the best hit so far (full t-pruning carries
+    across treelets). Removes the single-tree VMEM ceiling entirely — HBM is
+    the only scene-size limit, as with the reference's GPU buffers."""
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    t0 = jnp.full(ox.shape, T_FAR, jnp.float32)
+    tri0 = jnp.full(ox.shape, -1, jnp.int32)
+    z0 = jnp.zeros(ox.shape, jnp.float32)
+    stack_ref[0] = jnp.int32(0)
+
+    def walk_treelet(tid, hitmask, state):
+        """DMA the treelet blocks, then sub-walk them (state carried)."""
+        dma_i = pltpu.make_async_copy(tre_inner_ref.at[tid], scr_inner, sem_i)
+        dma_l = pltpu.make_async_copy(tre_leaf_ref.at[tid], scr_leaf, sem_l)
+        dma_i.start()
+        dma_l.start()
+        dma_i.wait()
+        dma_l.wait()
+        return bvh2_walk_closest(
+            scr_inner, scr_leaf, stack2_ref, leaf_k,
+            ox, oy, oz, dx, dy, dz, hitmask,
+            dense_leaves=dense_leaves, init_state=state,
+        )
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, t_best, tri_best, nx, ny, nz, menc = c
+        sp = sp - 1
+        node = stack_ref[sp]
+        row = top_ref[pl.ds(node, 1), :]
+        tminl, boxl = _slab(ox, oy, oz, ix, iy, iz,
+                            row[0, 0], row[0, 1], row[0, 2],
+                            row[0, 3], row[0, 4], row[0, 5])
+        tminr, boxr = _slab(ox, oy, oz, ix, iy, iz,
+                            row[0, 6], row[0, 7], row[0, 8],
+                            row[0, 9], row[0, 10], row[0, 11])
+        hitl = boxl & act & (tminl <= t_best)
+        hitr = boxr & act & (tminr <= t_best)
+        lref = row[0, 12].astype(jnp.int32)
+        rref = row[0, 13].astype(jnp.int32)
+        lcnt = row[0, 14].astype(jnp.int32)
+        rcnt = row[0, 15].astype(jnp.int32)
+        packed = jnp.sum(
+            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * 8192
+        )
+        any_l = (packed % 8192) > 0
+        any_r = packed >= 8192
+        l_tre = lcnt == -2
+        r_tre = rcnt == -2
+
+        state = (t_best, tri_best, nx, ny, nz, menc)
+        state = jax.lax.cond(
+            any_l & l_tre,
+            lambda st: walk_treelet(lref, hitl, st),
+            lambda st: st, state,
+        )
+        state = jax.lax.cond(
+            any_r & r_tre,
+            lambda st: walk_treelet(rref, hitr, st),
+            lambda st: st, state,
+        )
+        t_best, tri_best, nx, ny, nz, menc = state
+
+        push_l = any_l & (lcnt == -1)
+        push_r = any_r & (rcnt == -1)
+        both = push_l & push_r
+        v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
+        stack_ref[sp] = v0
+        stack_ref[sp + 1] = lref
+        sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
+        return sp, t_best, tri_best, nx, ny, nz, menc
+
+    return jax.lax.while_loop(
+        cond, body, (jnp.int32(1), t0, tri0, z0, z0, z0, z0)
+    )[1:]
+
+
+def tiered_walk_shadow(top_ref, tre_inner_ref, tre_leaf_ref,
+                       stack_ref, stack2_ref, scr_inner, scr_leaf,
+                       sem_i, sem_l, leaf_k, min_visibility, t_eps,
+                       ox, oy, oz, dx, dy, dz, maxd, act,
+                       dense_leaves: bool = False):
+    """Transmission walk over the tiered view — tiered_walk_closest's shadow
+    counterpart; per-treelet sub-walks multiply into the carried visibility."""
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    stack_ref[0] = jnp.int32(0)
+
+    def walk_treelet(tid, hitmask, vis):
+        dma_i = pltpu.make_async_copy(tre_inner_ref.at[tid], scr_inner, sem_i)
+        dma_l = pltpu.make_async_copy(tre_leaf_ref.at[tid], scr_leaf, sem_l)
+        dma_i.start()
+        dma_l.start()
+        dma_i.wait()
+        dma_l.wait()
+        return bvh2_walk_shadow(
+            scr_inner, scr_leaf, stack2_ref, leaf_k, min_visibility, t_eps,
+            ox, oy, oz, dx, dy, dz, maxd, hitmask,
+            dense_leaves=dense_leaves, vis_init=vis,
+        )
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, vis = c
+        sp = sp - 1
+        node = stack_ref[sp]
+        row = top_ref[pl.ds(node, 1), :]
+        live = act & (vis > min_visibility)
+        tminl, boxl = _slab(ox, oy, oz, ix, iy, iz,
+                            row[0, 0], row[0, 1], row[0, 2],
+                            row[0, 3], row[0, 4], row[0, 5])
+        tminr, boxr = _slab(ox, oy, oz, ix, iy, iz,
+                            row[0, 6], row[0, 7], row[0, 8],
+                            row[0, 9], row[0, 10], row[0, 11])
+        hitl = boxl & live & (tminl <= maxd)
+        hitr = boxr & live & (tminr <= maxd)
+        lref = row[0, 12].astype(jnp.int32)
+        rref = row[0, 13].astype(jnp.int32)
+        lcnt = row[0, 14].astype(jnp.int32)
+        rcnt = row[0, 15].astype(jnp.int32)
+        packed = jnp.sum(
+            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * 8192
+        )
+        any_l = (packed % 8192) > 0
+        any_r = packed >= 8192
+
+        vis = jax.lax.cond(
+            any_l & (lcnt == -2),
+            lambda v: walk_treelet(lref, hitl, v), lambda v: v, vis,
+        )
+        vis = jax.lax.cond(
+            any_r & (rcnt == -2),
+            lambda v: walk_treelet(rref, hitr, v), lambda v: v, vis,
+        )
+
+        push_l = any_l & (lcnt == -1)
+        push_r = any_r & (rcnt == -1)
+        both = push_l & push_r
+        v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
+        stack_ref[sp] = v0
+        stack_ref[sp + 1] = lref
+        sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
+        return sp, vis
+
+    return jax.lax.while_loop(
+        cond, body, (jnp.int32(1), jnp.ones(ox.shape, jnp.float32))
+    )[1]
 
 
 def _interval_inv(dlo, dhi):

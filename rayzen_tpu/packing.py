@@ -99,6 +99,19 @@ class SceneArrays:
     bvh8_child_node: jax.Array  # (N8, 8) i32 — unified node id (-1 = padding)
     bvh8_child_ref: jax.Array  # (N8, 8) i32 — inner index | leaf-table index
     bvh8_child_count: jax.Array  # (N8, 8) i32 — -1 internal; >=0 leaf count
+    # Tiered (HBM-streamed treelet) view for scenes whose tables exceed VMEM:
+    # the BVH2 tree is cut into treelets of <= TRE_SI inner rows / <= TRE_SL
+    # leaf rows each; the small top tree stays VMEM-resident and its treelet
+    # children (count == -2) are walked from DMA'd fixed-size HBM blocks.
+    # Built only past the single-tree VMEM budget (1-row dummies otherwise;
+    # top_child_count[0,0] == 0 marks "absent").
+    top_child_node: jax.Array  # (Nt, 2) i32 — unified node id per child
+    top_child_ref: jax.Array  # (Nt, 2) i32 — top index | treelet id
+    top_child_count: jax.Array  # (Nt, 2) i32 — -1 internal; -2 treelet
+    tre_child_node: jax.Array  # (Tt, SI, 2) i32 — unified ids (refit); -1 pad
+    tre_child_ref: jax.Array  # (Tt, SI, 2) i32 — local inner row | local leaf slot
+    tre_child_count: jax.Array  # (Tt, SI, 2) i32 — -1 internal; >=0 leaf count
+    tre_leaf_src: jax.Array  # (Tt, SL) i32 — global leaf-table row per slot (-1 pad)
     # Shading tables.
     materials: jax.Array  # (M, 8) f32
     lights: jax.Array  # (L, 8) f32
@@ -123,6 +136,16 @@ class SceneArrays:
         return dataclasses.replace(
             self, transforms=jnp.asarray(transforms), inv_transforms=jnp.asarray(inv)
         )
+
+
+SINGLE_TREE_VMEM_BUDGET = int(3.5 * 1024 * 1024)  # bytes of traversal tables
+
+
+def single_tree_table_bytes(n_inner: int, n_leaf_rows: int, leaf_size: int) -> int:
+    """Raw inner+leaf table bytes for one tree; Mosaic's scoped VMEM working
+    set measures ~3.5-4x this, so it must stay under ~4 MB of a 16 MB core."""
+    leaf_w = ((11 * leaf_size + 2 + 7) // 8) * 8
+    return 4 * (n_inner * 16 + n_leaf_rows * leaf_w)
 
 
 _blas_cache: dict = {}
@@ -249,6 +272,24 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         leaf_k=cfg.leaf_size,
     )
 
+    # tiered (HBM-streamed treelet) view when the single tree exceeds VMEM
+    n_inner = uni["bvh2_child_node"].shape[0]
+    n_leaf_rows = uni["bvh2_leaf_node"].shape[0]
+    tiered_on = cfg.tiered == "on" or (
+        cfg.tiered == "auto"
+        and single_tree_table_bytes(n_inner, n_leaf_rows, cfg.leaf_size)
+        > SINGLE_TREE_VMEM_BUDGET
+    )
+    if tiered_on and cfg.leaf_size <= 11:  # leaf rows must fit 128 f32 lanes
+        uni.update(
+            _build_treelets(
+                uni["bvh2_child_node"], uni["bvh2_child_ref"],
+                uni["bvh2_child_count"], cfg.treelet_rows,
+            )
+        )
+    else:
+        uni.update(_empty_treelets())
+
     total_tris = sum(m.num_triangles for m in instance_meta)
     log.info(
         f"Packed scene: {len(unique_meshes)} unique meshes, "
@@ -271,6 +312,13 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         bvh8_child_node=jnp.asarray(uni["bvh8_child_node"]),
         bvh8_child_ref=jnp.asarray(uni["bvh8_child_ref"]),
         bvh8_child_count=jnp.asarray(uni["bvh8_child_count"]),
+        top_child_node=jnp.asarray(uni["top_child_node"]),
+        top_child_ref=jnp.asarray(uni["top_child_ref"]),
+        top_child_count=jnp.asarray(uni["top_child_count"]),
+        tre_child_node=jnp.asarray(uni["tre_child_node"]),
+        tre_child_ref=jnp.asarray(uni["tre_child_ref"]),
+        tre_child_count=jnp.asarray(uni["tre_child_count"]),
+        tre_leaf_src=jnp.asarray(uni["tre_leaf_src"]),
         tri_v0=jnp.asarray(tri_v0),
         tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2),
@@ -503,6 +551,173 @@ def _build_bvh2(uni_meta: np.ndarray, n_tlas: int):
     return out
 
 
+def _build_treelets(child_node: np.ndarray, child_ref: np.ndarray,
+                    child_count: np.ndarray, max_rows: int):
+    """Cut the BVH2 child-table tree into treelets of at most ``max_rows``
+    inner rows and ``max_rows`` leaf rows each, plus the remaining small top
+    tree (see SceneArrays tiered-field docs).
+
+    Top-tree children: count -1 = top internal (ref = top row), -2 = treelet
+    (ref = treelet id). Treelet-local children: count -1 = local inner row,
+    count >= 0 = leaf with ``ref`` = local leaf SLOT (the slot's global
+    leaf-table row lives in tre_leaf_src)."""
+    ni = child_node.shape[0]
+
+    # subtree sizes per inner node (iterative reverse-BFS accumulation)
+    order, seen, stack = [], set(), [0]
+    while stack:
+        n = stack.pop()
+        if n in seen:
+            continue
+        seen.add(n)
+        order.append(n)
+        for c in range(2):
+            if child_count[n, c] < 0:
+                stack.append(int(child_ref[n, c]))
+    inner_cnt = np.ones(ni, dtype=np.int64)
+    leaf_cnt = np.zeros(ni, dtype=np.int64)
+    for n in reversed(order):
+        for c in range(2):
+            if child_count[n, c] < 0:
+                r = int(child_ref[n, c])
+                inner_cnt[n] += inner_cnt[r]
+                leaf_cnt[n] += leaf_cnt[r]
+            elif child_node[n, c] >= 0:
+                leaf_cnt[n] += 1
+
+    def cuttable(idx):
+        return inner_cnt[idx] <= max_rows and leaf_cnt[idx] <= max_rows
+
+    treelets = []  # per treelet: (local child tables, leaf_src)
+
+    def make_treelet(entry):
+        """entry = ('inner', bvh2 idx) or ('leaf', leaf_ref, count, node_id).
+        Returns the treelet id."""
+        t_node, t_ref, t_cnt, leaf_src = [], [], [], []
+        if entry[0] == "leaf":
+            # synthetic root: one real leaf child + inert padding child
+            _, lref, lcount, lnode = entry
+            leaf_src.append(int(lref))
+            t_node.append((int(lnode), -1))
+            t_ref.append((0, 0))
+            t_cnt.append((int(lcount), 0))
+        else:
+            root = entry[1]
+            index_of = {root: 0}
+            queue = [root]
+            t_node, t_ref, t_cnt = [None], [None], [None]
+            while queue:
+                n = queue.pop(0)
+                slot = index_of[n]
+                kn, kr, kc = [], [], []
+                for c in range(2):
+                    cnt = int(child_count[n, c])
+                    if cnt < 0:  # internal child -> local inner row
+                        r = int(child_ref[n, c])
+                        if r not in index_of:
+                            index_of[r] = len(t_node)
+                            t_node.append(None)
+                            t_ref.append(None)
+                            t_cnt.append(None)
+                            queue.append(r)
+                        kr.append(index_of[r])
+                        kc.append(-1)
+                    else:  # leaf child -> local leaf slot
+                        kr.append(len(leaf_src))
+                        leaf_src.append(int(child_ref[n, c]))
+                        kc.append(cnt)
+                    kn.append(int(child_node[n, c]))
+                t_node[slot] = tuple(kn)
+                t_ref[slot] = tuple(kr)
+                t_cnt[slot] = tuple(kc)
+        treelets.append((t_node, t_ref, t_cnt, leaf_src))
+        return len(treelets) - 1
+
+    # top tree: BFS over un-cut inner nodes; the root is always a top node
+    # (a fully-cuttable tree gets a synthetic top root with one treelet child)
+    top_node, top_ref, top_cnt = [], [], []
+    if cuttable(0):
+        tid = make_treelet(("inner", 0))
+        top_node.append((0, -1))
+        top_ref.append((tid, 0))
+        top_cnt.append((-2, 0))
+    else:
+        index_of = {0: 0}
+        queue = [0]
+        top_node, top_ref, top_cnt = [None], [None], [None]
+        while queue:
+            n = queue.pop(0)
+            slot = index_of[n]
+            kn, kr, kc = [], [], []
+            for c in range(2):
+                cnt = int(child_count[n, c])
+                if cnt < 0:
+                    r = int(child_ref[n, c])
+                    if cuttable(r):
+                        kr.append(make_treelet(("inner", r)))
+                        kc.append(-2)
+                    else:
+                        if r not in index_of:
+                            index_of[r] = len(top_node)
+                            top_node.append(None)
+                            top_ref.append(None)
+                            top_cnt.append(None)
+                            queue.append(r)
+                        kr.append(index_of[r])
+                        kc.append(-1)
+                elif child_node[n, c] >= 0:  # bare leaf above the cuts
+                    kr.append(
+                        make_treelet(
+                            ("leaf", int(child_ref[n, c]), cnt,
+                             int(child_node[n, c]))
+                        )
+                    )
+                    kc.append(-2)
+                else:  # padding child
+                    kr.append(0)
+                    kc.append(0)
+                kn.append(int(child_node[n, c]))
+            top_node[slot] = tuple(kn)
+            top_ref[slot] = tuple(kr)
+            top_cnt[slot] = tuple(kc)
+
+    # pack treelets to fixed (Tt, max_rows, ...) blocks
+    tt = len(treelets)
+    tre_node = np.full((tt, max_rows, 2), -1, dtype=np.int32)
+    tre_ref = np.zeros((tt, max_rows, 2), dtype=np.int32)
+    tre_cnt = np.zeros((tt, max_rows, 2), dtype=np.int32)
+    tre_leaf = np.full((tt, max_rows), -1, dtype=np.int32)
+    for t, (t_node, t_ref, t_cnt, leaf_src) in enumerate(treelets):
+        assert len(t_node) <= max_rows and len(leaf_src) <= max_rows
+        for i in range(len(t_node)):
+            tre_node[t, i] = t_node[i]
+            tre_ref[t, i] = t_ref[i]
+            tre_cnt[t, i] = t_cnt[i]
+        tre_leaf[t, : len(leaf_src)] = leaf_src
+    return dict(
+        top_child_node=np.asarray(top_node, dtype=np.int32),
+        top_child_ref=np.asarray(top_ref, dtype=np.int32),
+        top_child_count=np.asarray(top_cnt, dtype=np.int32),
+        tre_child_node=tre_node,
+        tre_child_ref=tre_ref,
+        tre_child_count=tre_cnt,
+        tre_leaf_src=tre_leaf,
+    )
+
+
+def _empty_treelets():
+    """1-row dummies marking "tiered view absent" (top_child_count[0,0]=0)."""
+    return dict(
+        top_child_node=np.full((1, 2), -1, dtype=np.int32),
+        top_child_ref=np.zeros((1, 2), dtype=np.int32),
+        top_child_count=np.zeros((1, 2), dtype=np.int32),
+        tre_child_node=np.full((1, 1, 2), -1, dtype=np.int32),
+        tre_child_ref=np.zeros((1, 1, 2), dtype=np.int32),
+        tre_child_count=np.zeros((1, 1, 2), dtype=np.int32),
+        tre_leaf_src=np.full((1, 1), -1, dtype=np.int32),
+    )
+
+
 def _collapse_bvh8(child_node: np.ndarray, child_ref: np.ndarray,
                    child_count: np.ndarray):
     """Collapse the BVH2 child table into 8-wide nodes.
@@ -638,9 +853,18 @@ class WorldArrays:
     # BVH8 wide-node table: row = [8 x (bmin(3) bmax(3)) | 8 refs | 8 counts]
     # = 64 f32 columns; shares leaf_table with the BVH2 view.
     inner8_table: jax.Array  # (N8, 64) f32
+    # Tiered view (HBM-streamed treelets): top tree in inner_table format with
+    # count -2 children referencing treelets; fixed-size per-treelet blocks
+    # padded to 128 lanes, DMA'd into VMEM scratch by the tiered walks.
+    top_table: jax.Array  # (Nt, 16) f32
+    tre_inner: jax.Array  # (Tt, SI, 128) f32 — cols 0-15 = inner_table row
+    tre_leaf: jax.Array  # (Tt, SL, 128) f32 — cols 0..W2 = leaf_table row
     materials: jax.Array  # (M, 8) f32
     lights: jax.Array  # (L, 8) f32
     leaf_k: int = dataclasses.field(metadata=dict(static=True), default=4)
+    # static marker: tiered treelet view populated (scenes past the VMEM
+    # budget); selects the DMA-streaming walks in the megakernel
+    tiered: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def num_lights(self) -> int:
@@ -758,6 +982,37 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
     if pad2:
         leaf_table = jnp.pad(leaf_table, ((0, 0), (0, pad2)))
 
+    # ---- tiered (HBM-streamed treelet) tables ----
+    # presence is a SHAPE property (jit-safe): dummies are (1, 1, 2)
+    tiered = int(arrays.tre_child_node.shape[1]) > 1
+    tcn = arrays.top_child_node  # (Nt, 2)
+    tbnd = node_bounds[jnp.maximum(tcn, 0)]  # (Nt, 2, 6)
+    tbnd = jnp.where((tcn >= 0)[..., None], tbnd, inverted)
+    top_table = jnp.concatenate(
+        [tbnd[:, 0, :], tbnd[:, 1, :],
+         arrays.top_child_ref.astype(jnp.float32),
+         arrays.top_child_count.astype(jnp.float32)],
+        axis=1,
+    )  # (Nt, 16)
+    tn = arrays.tre_child_node  # (Tt, SI, 2)
+    tb2 = node_bounds[jnp.maximum(tn, 0)]  # (Tt, SI, 2, 6)
+    tb2 = jnp.where((tn >= 0)[..., None], tb2, inverted)
+    tre_inner16 = jnp.concatenate(
+        [tb2[..., 0, :], tb2[..., 1, :],
+         arrays.tre_child_ref.astype(jnp.float32),
+         arrays.tre_child_count.astype(jnp.float32)],
+        axis=-1,
+    )  # (Tt, SI, 16)
+    tre_inner = jnp.pad(
+        tre_inner16, ((0, 0), (0, 0), (0, 128 - tre_inner16.shape[-1]))
+    )
+    lsrc = jnp.maximum(arrays.tre_leaf_src, 0)  # (Tt, SL)
+    tre_leaf = leaf_table[lsrc]  # (Tt, SL, W2)
+    if tre_leaf.shape[-1] < 128:
+        tre_leaf = jnp.pad(
+            tre_leaf, ((0, 0), (0, 0), (0, 128 - tre_leaf.shape[-1]))
+        )
+
     return WorldArrays(
         tri_v0=v0,
         tri_e1=e1,
@@ -768,10 +1023,14 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
         records=records,
         inner_table=inner_table,
         inner8_table=inner8_table,
+        top_table=top_table,
+        tre_inner=tre_inner,
+        tre_leaf=tre_leaf,
         leaf_table=leaf_table,
         materials=arrays.materials,
         lights=arrays.lights,
         leaf_k=int(leaf_k),
+        tiered=tiered,
     )
 
 

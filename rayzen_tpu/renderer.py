@@ -60,15 +60,17 @@ class Renderer:
         self._accum = None
         self._accum_count = 0
 
-        # Scenes beyond one tree's VMEM budget are partitioned into chunked
-        # trees (bigscene.py) so they stay on the fast packet-kernel path —
-        # the reference renders arbitrary OBJ scenes (Mesh.cpp:6-50), so must
-        # we, and the XLA gather-walk fallback is minutes per frame.
+        # Scenes beyond one tree's VMEM budget: the default is the tiered
+        # (HBM-streamed treelet) megakernel, built at pack time (packing.py) —
+        # HBM is then the only scene-size limit, as with the reference's GPU
+        # buffers (Mesh.cpp:6-50). With tiered="off" they instead partition
+        # into chunked trees (bigscene.py).
         self.arrays_list = None
         self._chunk_scenes = None
         if (
             mesh is None
             and cfg.kernels != "xla"
+            and cfg.tiered == "off"
             and scene.num_triangles > bigscene.DEFAULT_CHUNK_TRIS
         ):
             self._chunk_scenes = bigscene.partition_scene(scene)

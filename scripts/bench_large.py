@@ -69,28 +69,45 @@ total_tris = scene.num_triangles
 print(f"# field: {N_INSTANCES} Suzannes, {total_tris} world triangles",
       file=sys.stderr)
 
-cfg = RenderConfig(width=W, height=H, spp=SPP, max_bounces=5)
-chunks = partition_scene(scene)
-arrays_list = tuple(pack_scene(c, cfg) for c in chunks)
 cam = {k: jnp.asarray(v) for k, v in scene.camera.device_params().items()}
+mode = sys.argv[2] if len(sys.argv) > 2 else "tiered"  # tiered | chunked
+TRE_ROWS = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 
-fn = jax.jit(
-    lambda al, c: render_radiance_chunked(al, c, cfg, with_stats=True)
-)
+if mode == "chunked":
+    cfg = RenderConfig(width=W, height=H, spp=SPP, max_bounces=5, tiered="off")
+    chunks = partition_scene(scene)
+    arrays_in = tuple(pack_scene(c, cfg) for c in chunks)
+    fn = jax.jit(
+        lambda al, c: render_radiance_chunked(al, c, cfg, with_stats=True)
+    )
+    detail = f"{len(chunks)} chunks"
+else:
+    from rayzen_tpu.integrator import render_radiance_with_stats
+
+    cfg = RenderConfig(width=W, height=H, spp=SPP, max_bounces=5,
+                       treelet_rows=TRE_ROWS)
+    arrays_in = pack_scene(scene, cfg)  # tiered view auto-built at this size
+    fn = jax.jit(lambda a, c: render_radiance_with_stats(a, c, cfg))
+    detail = (
+        f"tiered: {arrays_in.tre_child_node.shape[0]} treelets x "
+        f"{arrays_in.tre_child_node.shape[1]} rows, "
+        f"top {arrays_in.top_child_node.shape[0]} rows"
+    )
+
 t0 = time.perf_counter()
-img, rays = fn(arrays_list, cam)
+img, rays = fn(arrays_in, cam)
 np.asarray(img)
-print(f"# compile+first: {time.perf_counter() - t0:.1f} s, "
-      f"{len(chunks)} chunks", file=sys.stderr)
+print(f"# compile+first: {time.perf_counter() - t0:.1f} s, {detail}",
+      file=sys.stderr)
 
 best = float("inf")
 for _ in range(4):
     t0 = time.perf_counter()
-    img, rays = fn(arrays_list, cam)
+    img, rays = fn(arrays_in, cam)
     np.asarray(img)
     best = min(best, time.perf_counter() - t0)
 mrays = int(rays) / best / 1e6
-print(f"# {total_tris} tris: {best / SPP * 1e3:.1f} ms/sample, "
+print(f"# {total_tris} tris [{mode}]: {best / SPP * 1e3:.1f} ms/sample, "
       f"{mrays:.1f} Mrays/s sustained (min of 4)", file=sys.stderr)
 from rayzen_tpu.image_io import write_png
 
