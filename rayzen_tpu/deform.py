@@ -112,6 +112,9 @@ def world_from_deforming(
         records=records,
         inner_table=inner_table,
         inner8_table=jnp.zeros((1, 64), jnp.float32),  # no wide-node collapse
+        top_table=jnp.zeros((1, 16), jnp.float32),  # no tiered view either:
+        tre_inner=jnp.zeros((1, 1, 128), jnp.float32),  # deforming meshes are
+        tre_leaf=jnp.zeros((1, 1, 128), jnp.float32),  # VMEM-sized live data
         leaf_table=leaf_table,
         materials=materials,
         lights=lights,
