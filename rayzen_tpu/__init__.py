@@ -14,6 +14,10 @@ from .mesh import Mesh  # noqa: F401
 from .scene import GameObject, Scene  # noqa: F401
 from .packing import SceneArrays, WorldArrays, pack_scene, world_geometry  # noqa: F401
 from .integrator import render_radiance, render_radiance_with_stats  # noqa: F401
+from .renderer import Renderer  # noqa: F401
+from .deform import render_deforming, world_from_deforming  # noqa: F401
+from .bigscene import partition_scene, render_radiance_chunked  # noqa: F401
+from .interactive import InteractiveSession  # noqa: F401
 from . import procedural  # noqa: F401
 
 __version__ = "0.1.0"
