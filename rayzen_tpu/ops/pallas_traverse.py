@@ -36,8 +36,18 @@ from ..packing import WorldArrays
 from .intersect import DET_EPS, T_EPS, T_FAR
 from .traverse import Hit
 
-PACKET_ROWS = 32  # sublane rows per packet; packet = PACKET_ROWS * 128 rays
-PACKET = PACKET_ROWS * 128  # 4096 rays = one 64x64 screen tile (packet_tile=64)
+import os as _os
+
+# sublane rows per packet; packet = PACKET_ROWS * 128 rays. 32 -> 4096 rays =
+# one 64x64 screen tile (packet_tile=64). Overridable for experiments
+# (RAYZEN_PACKET_ROWS); 16/32/64 all measured within noise of each other on
+# the demo scene — smaller packets tighten consensus but add iterations.
+PACKET_ROWS = int(_os.environ.get("RAYZEN_PACKET_ROWS", "32"))
+PACKET = PACKET_ROWS * 128
+assert PACKET_ROWS <= 128, "consensus packing needs PACKET^2 < 2^31"
+# packed two-bit consensus: sum(hitl + hitr * _CMULT) keeps both counts in
+# disjoint ranges for any packet size (counts <= PACKET < _CMULT)
+_CMULT = PACKET + 1
 
 
 def _safe_inv(d):
@@ -294,12 +304,12 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
         rcnt = row[0, 15].astype(jnp.int32)
         # ONE cross-lane reduction (~1.4+ us each on TPU) serves both
         # consensus bits: pack the two hit counts into disjoint ranges
-        # (packet <= 4096 rays < 8192, so the counts cannot alias)
+        # (counts <= PACKET < _CMULT, so they cannot alias)
         packed = jnp.sum(
-            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * 8192
+            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * _CMULT
         )
-        any_l = (packed % 8192) > 0
-        any_r = packed >= 8192
+        any_l = (packed % _CMULT) > 0
+        any_r = packed >= _CMULT
         l_leaf = lcnt >= 0
         r_leaf = rcnt >= 0
         hit_leaf_l = any_l & l_leaf
@@ -430,10 +440,10 @@ def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
         rcnt = row[0, 15].astype(jnp.int32)
         # one packed reduction for both consensus bits (see closest kernel)
         packed = jnp.sum(
-            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * 8192
+            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * _CMULT
         )
-        any_l = (packed % 8192) > 0
-        any_r = packed >= 8192
+        any_l = (packed % _CMULT) > 0
+        any_r = packed >= _CMULT
         l_leaf = lcnt >= 0
         r_leaf = rcnt >= 0
         hit_leaf_l = any_l & l_leaf
@@ -727,10 +737,10 @@ def tiered_walk_closest(top_ref, tre_inner_ref, tre_leaf_ref,
         lcnt = row[0, 14].astype(jnp.int32)
         rcnt = row[0, 15].astype(jnp.int32)
         packed = jnp.sum(
-            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * 8192
+            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * _CMULT
         )
-        any_l = (packed % 8192) > 0
-        any_r = packed >= 8192
+        any_l = (packed % _CMULT) > 0
+        any_r = packed >= _CMULT
         l_tre = lcnt == -2
         r_tre = rcnt == -2
 
@@ -806,10 +816,10 @@ def tiered_walk_shadow(top_ref, tre_inner_ref, tre_leaf_ref,
         lcnt = row[0, 14].astype(jnp.int32)
         rcnt = row[0, 15].astype(jnp.int32)
         packed = jnp.sum(
-            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * 8192
+            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * _CMULT
         )
-        any_l = (packed % 8192) > 0
-        any_r = packed >= 8192
+        any_l = (packed % _CMULT) > 0
+        any_r = packed >= _CMULT
 
         vis = jax.lax.cond(
             any_l & (lcnt == -2),
