@@ -90,10 +90,13 @@ def partition_scene(
     if total <= max_tris:
         return [scene]
 
-    # explode oversized meshes once (shared across their instances)
+    # explode oversized meshes once (shared across their instances); each
+    # exploded object remembers which original scene.game_objects index it
+    # came from so transform updates can be routed back (origin_indices below)
     split_cache: dict = {}
     exploded: List[GameObject] = []
-    for go in scene.game_objects:
+    exploded_origin: List[int] = []
+    for oi, go in enumerate(scene.game_objects):
         if go.mesh.num_triangles > max_tris:
             if id(go.mesh) not in split_cache:
                 split_cache[id(go.mesh)] = split_mesh(go.mesh, max_tris)
@@ -104,28 +107,38 @@ def partition_scene(
                         material_override=go.material_override,
                     )
                 )
+                exploded_origin.append(oi)
         else:
             exploded.append(go)
+            exploded_origin.append(oi)
 
     # greedy bin-packing of instances in spatial (transform-origin Morton)
     # order so chunks stay spatially coherent
     origins = np.stack([np.asarray(go.transform)[:3, 3] for go in exploded])
     order = np.argsort(_morton3(origins), kind="stable")
     chunks: List[List[GameObject]] = [[]]
+    chunk_origins: List[List[int]] = [[]]
     load = 0
     for i in order:
         go = exploded[int(i)]
         n = go.mesh.num_triangles
         if load and load + n > max_tris:
             chunks.append([])
+            chunk_origins.append([])
             load = 0
         chunks[-1].append(go)
+        chunk_origins[-1].append(exploded_origin[int(i)])
         load += n
 
     out = []
-    for part in chunks:
+    for part, part_origins in zip(chunks, chunk_origins):
         s = Scene(camera=scene.camera, materials=scene.materials,
                   lights=scene.lights, game_objects=part)
+        # per-chunk map: instance slot -> original scene.game_objects index
+        # (split-mesh parts repeat their owner's index). Renderer.
+        # update_transforms uses this to route a full (I, 4, 4) stack indexed
+        # by the ORIGINAL scene order into each chunk's transform slots.
+        s.origin_indices = np.asarray(part_origins, dtype=np.int64)
         out.append(s)
 
     # near-to-far from the camera: the per-chunk walks carry the best hit so
@@ -233,6 +246,14 @@ def render_radiance_chunked(
     sampler = _make_sampler(cfg, frag, uv, cfg.width, cfg.height, rng_key)
 
     def one_sample(samp):
+        if cfg.rng == "reference":
+            # progressive keying, identical to integrator.render_rays: the
+            # sin-hash sampler is a pure function of (pixel, sample index), so
+            # key k continues at sample k*spp — without this, chunked frames
+            # are bit-identical for every rng_key and accumulation stalls.
+            samp = jnp.asarray(samp, jnp.float32) + (
+                jnp.asarray(rng_key, jnp.float32) * float(cfg.spp)
+            )
         sampler.start_sample(samp)
         jitter = sampler.camera_jitter()
         origin, direction = camera_rays.generate_rays(

@@ -84,6 +84,15 @@ class RenderConfig:
     # 2 * rows * 512). 64 -> ~64 KB of scratch, ~512 triangles per treelet.
     treelet_rows: int = 64
 
+    # Megakernel sample fusion: trace this many samples of the same pixel
+    # tile TOGETHER per packet walk (stacked sub-blocks carrying consecutive
+    # sample indices). Same-pixel samples are traversal-coherent, so a fused
+    # walk takes roughly one sample's iterations while serving all of them —
+    # amortizing the per-iteration scalar/reduction overhead that bounds
+    # packet throughput (docs/PERFORMANCE.md). Effective fuse is the largest
+    # divisor of the per-dispatch sample count <= this value; 1 disables.
+    sample_fuse: int = 1
+
     # Megakernel BVH2 leaf handling: process both children's leaf triangles
     # masked-dense every traversal step instead of gating on lax.conds (a
     # Mosaic cond costs ~2 us; 2*leaf_size masked Moller-Trumbore tests ~1 us).
@@ -116,6 +125,20 @@ class RenderConfig:
     debug_selected_blas: int = 0
     debug_selected_tri: int = 0
     show_fps_overlay: bool = False
+
+    # Per-chunk world-triangle budget for the chunked big-scene path
+    # (bigscene.partition_scene); 0 = bigscene.DEFAULT_CHUNK_TRIS. Scenes at
+    # or under the budget stay on the single-tree fast path. Small values
+    # force chunking on small scenes (tests / experiments).
+    chunk_tris: int = 0
+
+    # Automatic acceleration-structure maintenance: when an instance's
+    # translation since the last topology build exceeds this fraction of the
+    # scene's world diagonal, Renderer.update_transforms triggers
+    # refresh_topology() — the on-demand analog of the reference's per-frame
+    # TLAS rebuild (main.cpp:1192-1194), so traversal quality never decays
+    # under sustained motion without paying a rebuild every frame. 0 disables.
+    auto_refresh_drift: float = 0.25
 
     # Host-side knobs (not part of the jit key in practice, but harmless).
     cache_dir: str = ".rayzen_cache"

@@ -111,7 +111,8 @@ def world_from_deforming(
         tri_nsign=jnp.ones((n,), jnp.float32),
         records=records,
         inner_table=inner_table,
-        inner8_table=jnp.zeros((1, 64), jnp.float32),  # no wide-node collapse
+        inner8_table=jnp.zeros((1, 72), jnp.float32),  # no wide-node collapse
+        leaf8_table=jnp.zeros((1, leaf_table.shape[1]), jnp.float32),
         top_table=jnp.zeros((1, 16), jnp.float32),  # no tiered view either:
         tre_inner=jnp.zeros((1, 1, 128), jnp.float32),  # deforming meshes are
         tre_leaf=jnp.zeros((1, 1, 128), jnp.float32),  # VMEM-sized live data
@@ -158,6 +159,14 @@ def render_deforming(
         sampler = _make_sampler(cfg, frag, uv, cfg.width, cfg.height, rng_key)
 
         def one_sample(samp):
+            if cfg.rng == "reference":
+                # same progressive keying as the megakernel branch (which keys
+                # samp via rng_key inside sample_wave) — keeps kernels="xla"
+                # and kernels="pallas" drawing identical sample sequences for
+                # every rng_key, not just key 0.
+                samp = jnp.asarray(samp, jnp.float32) + (
+                    jnp.asarray(rng_key, jnp.float32) * float(cfg.spp)
+                )
             sampler.start_sample(samp)
             jitter = sampler.camera_jitter()
             origin, direction = camera_rays.generate_rays(

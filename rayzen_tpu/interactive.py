@@ -38,7 +38,7 @@ import numpy as np
 
 from . import logging_util as log
 from .image_io import write_png
-from .picking import pick
+from .picking import pick, pick_chunks
 from .renderer import Renderer
 
 
@@ -90,12 +90,14 @@ class InteractiveSession:
         elif cmd == "n":
             r.cfg = r.cfg.replace(debug_bvh_mode=1 - r.cfg.debug_bvh_mode)
         elif cmd == "click" and len(parts) >= 3:
-            hit = pick(
-                r.arrays,
-                r._camera_params(),
-                (float(parts[1]), float(parts[2])),
-                (r.cfg.width, r.cfg.height),
-            )
+            xy = (float(parts[1]), float(parts[2]))
+            res = (r.cfg.width, r.cfg.height)
+            if r.arrays_list is not None:
+                # chunked scene: query every chunk, keep the closest hit —
+                # picking only chunk 0 silently misses the rest of the scene
+                hit = pick_chunks(r.arrays_list, r._camera_params(), xy, res)
+            else:
+                hit = pick(r.arrays, r._camera_params(), xy, res)
             if hit is None:
                 self._say("pick: miss")
             else:
@@ -103,9 +105,10 @@ class InteractiveSession:
                     debug_selected_blas=hit["instance"],
                     debug_selected_tri=hit["triangle"],
                 )
+                chunk = f" chunk {hit['chunk']}" if "chunk" in hit else ""
                 self._say(
-                    f"pick: instance {hit['instance']} tri {hit['triangle']} "
-                    f"t={hit['t']:.3f}"
+                    f"pick: instance {hit['instance']} tri {hit['triangle']}"
+                    f"{chunk} t={hit['t']:.3f}"
                 )
         elif cmd == "save" and len(parts) >= 2:
             if self.frame is not None:

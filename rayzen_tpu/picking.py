@@ -57,3 +57,22 @@ def pick(
         t=float(hit.t[0]),
         point=np.asarray(hit.point[0]),
     )
+
+
+def pick_chunks(
+    arrays_list,
+    camera_params: dict,
+    pixel_xy: Tuple[float, float],
+    resolution: Tuple[int, int],
+) -> Optional[dict]:
+    """Pick across a chunked scene (bigscene.partition_scene): runs the pick
+    query per chunk and keeps the closest hit, so geometry outside chunk 0 is
+    pickable too. The returned dict gains a "chunk" key; "instance"/"triangle"
+    index within that chunk's packed arrays."""
+    best = None
+    for ci, arrays in enumerate(arrays_list):
+        hit = pick(arrays, camera_params, pixel_xy, resolution)
+        if hit is not None and (best is None or hit["t"] < best["t"]):
+            hit["chunk"] = ci
+            best = hit
+    return best
