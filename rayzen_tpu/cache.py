@@ -35,6 +35,7 @@ _ARRAY_FIELDS = [
     "node_leaf_tri",
     "bvh2_child_node", "bvh2_child_ref", "bvh2_child_count", "bvh2_leaf_node",
     "bvh8_child_node", "bvh8_child_ref", "bvh8_child_count",
+    "bvh8_leaf_start", "bvh8_leaf_n", "bvh8_leaf_perm",
     "top_child_node", "top_child_ref", "top_child_count",
     "tre_child_node", "tre_child_ref", "tre_child_count", "tre_leaf_src",
     "materials", "lights",

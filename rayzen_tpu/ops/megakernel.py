@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import logging_util as log
 from ..config import RenderConfig
 from ..packing import WorldArrays
 from .pallas_traverse import (
@@ -457,16 +458,28 @@ def _direct_lighting_tiles(
 
 def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
                         max_bounces: int, cfg: RenderConfig,
-                        n_samples: int = 1, tiered: bool = False):
+                        n_samples: int = 1, tiered: bool = False,
+                        fuse: int = 1):
     """Full path-tracing samples per packet: raygen, primary hit, direct
     lighting (with in-kernel shadow walks), scatter, and the bounce loop —
     the reference megakernel main() (fragment_shader.glsl:668-822) reshaped
     into packet form. ``n_samples`` samples accumulate INSIDE the kernel
     (fori over the sample index), so one pallas_call serves a whole
     progressive batch: per-call pipeline spin-up amortizes and the traversal
-    tables stay hot in VMEM across samples. Ref order:
+    tables stay hot in VMEM across samples.
+
+    ``fuse``: samples traced TOGETHER per walk — the pixel tile is stacked
+    ``fuse`` times into one (PACKET_ROWS*fuse, 128) packet whose sub-blocks
+    carry consecutive sample indices. Same-pixel samples are highly coherent
+    (identical primary/shadow directions up to jitter; bounce draws from the
+    same surface points), so the consensus walk over the fused packet takes
+    roughly the iterations of ONE sample while serving ``fuse`` — the
+    per-iteration scalar/reduction/cond overhead (the measured cost floor,
+    docs/PERFORMANCE.md) amortizes across samples. Requires
+    n_samples % fuse == 0. Ref order:
     samp | key | inner | leaf | materials | lights | cam | u v act
     -> cr cg cb rays (sums over samples), scratch: SMEM stack."""
+    assert n_samples % fuse == 0 and fuse >= 1
     rng = cfg.rng if cfg.rng == "reference" else "hash"
     sky_h, sky_z = cfg.sky_horizon, cfg.sky_zenith
     rr_start = cfg.rr_start_bounce
@@ -527,11 +540,25 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
                     shadow_eps, *rays_md_act
                 )
 
-        u, v = u_ref[:], v_ref[:]
-        act = act_ref[:]
+        u0, v0 = u_ref[:], v_ref[:]
+        act0 = act_ref[:]
+        if fuse > 1:
+            u = jnp.concatenate([u0] * fuse, axis=0)
+            v = jnp.concatenate([v0] * fuse, axis=0)
+            act = jnp.concatenate([act0] * fuse, axis=0)
+            # per-sub-block sample offset: block s carries sample g*fuse + s
+            samp_off = jnp.concatenate(
+                [jnp.full(u0.shape, float(s), jnp.float32) for s in range(fuse)],
+                axis=0,
+            )
+        else:
+            u, v, act = u0, v0, act0
+            samp_off = 0.0
 
         def one_sample(samp_i, acc):
-            samp_f = samp_ref[0, 0] + samp_i.astype(jnp.float32)
+            samp_f = samp_ref[0, 0] + samp_i.astype(jnp.float32) * float(
+                fuse
+            ) + samp_off
             # ---- per-ray sampler state, derived in-kernel from uv ----
             if rng == "reference":
                 # seed = uv * (fragX + fragY + samp + 1) (glsl:688); frag =
@@ -633,8 +660,18 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
 
         zero = jnp.zeros(u.shape, jnp.float32)
         cr, cg, cb, rays = jax.lax.fori_loop(
-            0, n_samples, one_sample, (zero, zero, zero, zero)
+            0, n_samples // fuse, one_sample, (zero, zero, zero, zero)
         )
+        if fuse > 1:  # collapse the fused sub-blocks back onto the pixel tile
+            rows = u0.shape[0]
+
+            def collapse(x):
+                out = x[0:rows]
+                for s in range(1, fuse):
+                    out = out + x[s * rows:(s + 1) * rows]
+                return out
+
+            cr, cg, cb, rays = collapse(cr), collapse(cg), collapse(cb), collapse(rays)
         cr_ref[:] = cr
         cg_ref[:] = cg
         cb_ref[:] = cb
@@ -706,10 +743,23 @@ def sample_wave(
     # zero-light scenes: the unrolled light loop vanishes (n_lights=0) but the
     # operand must still have at least one row for pallas block mapping
     lights = ws.lights if n_lights else jnp.zeros((1, 8), jnp.float32)
-    tiered = bool(ws.tiered) and not cfg.wide_nodes
+    # past the single-tree VMEM budget the tiered walks are mandatory —
+    # wide_nodes would place the full-size inner/leaf tables in VMEM and OOM
+    # Mosaic on real chips, so the flag is ignored for tiered scenes
+    tiered = bool(ws.tiered)
+    if tiered and cfg.wide_nodes:
+        log.info(
+            "wide_nodes ignored: scene exceeds the single-tree VMEM budget; "
+            "using the tiered (HBM-streamed) walks"
+        )
+    # sample fusion: largest divisor of n_samples <= cfg.sample_fuse (fusing
+    # must tile the sample loop exactly)
+    fuse = max(1, int(cfg.sample_fuse))
+    while n_samples % fuse:
+        fuse -= 1
     kernel = _make_sample_kernel(
         ws.leaf_k, int(ws.materials.shape[0]), n_lights, max_bounces, cfg,
-        n_samples=n_samples, tiered=tiered,
+        n_samples=n_samples, tiered=tiered, fuse=fuse,
     )
     if tiered:
         # top tree in VMEM; treelet blocks stay in HBM (DMA'd by the walks)
@@ -730,9 +780,12 @@ def sample_wave(
             pltpu.SemaphoreType.DMA(()),
         ]
     else:
+        wide = cfg.wide_nodes and not tiered
         table_operands = (
-            ws.inner8_table if cfg.wide_nodes else ws.inner_table,
-            ws.leaf_table,
+            ws.inner8_table if wide else ws.inner_table,
+            # wide walks use the permuted wide-leaf table (contiguous leaf
+            # rows per wide node); the BVH2 walks keep the original order
+            ws.leaf8_table if wide else ws.leaf_table,
         )
         table_specs = [
             pl.BlockSpec(memory_space=pltpu.VMEM),

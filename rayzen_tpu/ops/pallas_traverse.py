@@ -45,9 +45,17 @@ import os as _os
 PACKET_ROWS = int(_os.environ.get("RAYZEN_PACKET_ROWS", "32"))
 PACKET = PACKET_ROWS * 128
 assert PACKET_ROWS <= 128, "consensus packing needs PACKET^2 < 2^31"
-# packed two-bit consensus: sum(hitl + hitr * _CMULT) keeps both counts in
-# disjoint ranges for any packet size (counts <= PACKET < _CMULT)
-_CMULT = PACKET + 1
+
+
+def _consensus2(hitl, hitr):
+    """Both children's consensus any-hit bits from ONE cross-lane reduction:
+    pack the two hit counts into disjoint ranges (each count <= rows*128 <
+    cm, so they cannot alias). The multiplier derives from the actual tile
+    shape so sample-fused packets (rows > PACKET_ROWS) stay correct."""
+    cm = hitl.shape[0] * hitl.shape[1] + 1
+    assert cm * cm < 2**31, "packed consensus overflows int32 at this tile"
+    packed = jnp.sum(hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * cm)
+    return (packed % cm) > 0, packed >= cm
 
 
 def _safe_inv(d):
@@ -303,13 +311,8 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
         lcnt = row[0, 14].astype(jnp.int32)
         rcnt = row[0, 15].astype(jnp.int32)
         # ONE cross-lane reduction (~1.4+ us each on TPU) serves both
-        # consensus bits: pack the two hit counts into disjoint ranges
-        # (counts <= PACKET < _CMULT, so they cannot alias)
-        packed = jnp.sum(
-            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * _CMULT
-        )
-        any_l = (packed % _CMULT) > 0
-        any_r = packed >= _CMULT
+        # consensus bits (_consensus2 packing)
+        any_l, any_r = _consensus2(hitl, hitr)
         l_leaf = lcnt >= 0
         r_leaf = rcnt >= 0
         hit_leaf_l = any_l & l_leaf
@@ -438,12 +441,8 @@ def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
         rref = row[0, 13].astype(jnp.int32)
         lcnt = row[0, 14].astype(jnp.int32)
         rcnt = row[0, 15].astype(jnp.int32)
-        # one packed reduction for both consensus bits (see closest kernel)
-        packed = jnp.sum(
-            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * _CMULT
-        )
-        any_l = (packed % _CMULT) > 0
-        any_r = packed >= _CMULT
+        # one packed reduction for both consensus bits (_consensus2)
+        any_l, any_r = _consensus2(hitl, hitr)
         l_leaf = lcnt >= 0
         r_leaf = rcnt >= 0
         hit_leaf_l = any_l & l_leaf
@@ -499,23 +498,71 @@ def _make_shadow_kernel_bvh2(leaf_k: int, min_visibility: float, t_eps: float):
     return kernel
 
 
+_BIG = 1e36  # consensus sentinel, comfortably above any real t (python float:
+# a jnp scalar here would be captured as a pallas kernel constant)
+
+
+def _wide_consensus(ox, oy, oz, ix, iy, iz, act, row, bound_tiles):
+    """8 child slab tests -> per-child hit masks + per-child consensus min
+    entry distance, for the cost of ONE cross-lane reduction: each child's
+    hit-masked tmin collapses along sublanes in-register (cheap), the 8
+    partial rows stack into one (8, 128) tile whose single lane min-reduce
+    yields all 8 scalars. ``bound_tiles`` bounds the test additionally
+    (t_best for closest walks, maxd for shadow walks)."""
+    hits, pmins = [], []
+    for ch in range(8):
+        b0 = 6 * ch
+        tmin, box = _slab(ox, oy, oz, ix, iy, iz,
+                          row[0, b0], row[0, b0 + 1], row[0, b0 + 2],
+                          row[0, b0 + 3], row[0, b0 + 4], row[0, b0 + 5])
+        h = box & act & (tmin <= bound_tiles)
+        hits.append(h)
+        pmins.append(jnp.min(jnp.where(h, tmin, _BIG), axis=0, keepdims=True))
+    mins = jnp.min(jnp.concatenate(pmins, axis=0), axis=1, keepdims=True)
+    return hits, mins  # hits: 8 x (rows, 128) bool; mins: (8, 1) scalars
+
+
 def bvh8_walk_closest(inner8_ref, leaf_ref, stack_ref, leaf_k,
                       ox, oy, oz, dx, dy, dz, act):
     """In-kernel wide-node (BVH8) closest-hit walk over WorldArrays.inner8_table
-    (row layout: 8 x [bmin(3) bmax(3)] | 8 refs | 8 counts).
+    (row: 8 x [bmin(3) bmax(3)] | 8 refs | 8 counts | leaf_start | leaf_n).
 
     One iteration tests 8 children, so packets take ~3x fewer iterations than
-    the binary walk, and per-child consensus costs ~1/8 of a full cross-lane
-    reduction: each child's hit mask is first collapsed along sublanes (cheap
-    in-register math), the 8 partial rows are stacked into ONE (8, 128) tile
-    whose single lane-reduction yields all 8 consensus bits as scalars. Hit
-    leaf children are processed masked-dense under a single lax.cond (no
-    per-child conds — Mosaic conds cost ~2 us each)."""
+    the binary walk — and, unlike the (measured-slower, round-2) first wide
+    walk, per-iteration cost stays near the binary walk's:
+
+    - ONE cross-lane reduction per iteration (_wide_consensus): the same
+      min-reduce yields both the 8 any-hit bits and the 8 consensus entry
+      distances that order the push (the old walk paid two).
+    - Dedicated wide-leaf layout (``leaf_ref`` = WorldArrays.leaf8_table):
+      a node's leaf children are CONTIGUOUS rows [leaf_start, leaf_start +
+      leaf_n), processed as one dense row loop under the union of the hit
+      leaf children's masks — no per-child leaf refs, no per-child conds,
+      no 8 x leaf_k masked-dense blowup. Widening a ray's mask to the union
+      is correct: a ray that misses a leaf's box cannot intersect its
+      triangles, so extra tests can only reject.
+    """
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     t0 = jnp.full(ox.shape, T_FAR, jnp.float32)
     tri0 = jnp.full(ox.shape, -1, jnp.int32)
     z0 = jnp.zeros(ox.shape, jnp.float32)
     stack_ref[0] = jnp.int32(0)
+
+    def leaf_row(r, carry):
+        t_best, tri_best, nx, ny, nz, menc, lstart, u = carry
+        lrow = leaf_ref[pl.ds(lstart + r, 1), :]
+        first = lrow[0, 10 * leaf_k].astype(jnp.int32)
+        count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
+        for k in range(leaf_k):
+            tri = [lrow[0, 9 * k + c] for c in range(9)]
+            t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+            better = u & h & (t < t_best) & (count > k)
+            t_best = jnp.where(better, t, t_best)
+            tri_best = jnp.where(better, first + k, tri_best)
+            nx, ny, nz, menc = _update_attrs(
+                better, tri, lrow[0, 10 * leaf_k + 2 + k], nx, ny, nz, menc
+            )
+        return t_best, tri_best, nx, ny, nz, menc, lstart, u
 
     def cond(c):
         return c[0] > 0
@@ -525,61 +572,31 @@ def bvh8_walk_closest(inner8_ref, leaf_ref, stack_ref, leaf_k,
         sp = sp - 1
         node = stack_ref[sp]
         row = inner8_ref[pl.ds(node, 1), :]
-        hits, partial, pmins = [], [], []
-        for ch in range(8):
-            b0 = 6 * ch
-            tmin, box = _slab(ox, oy, oz, ix, iy, iz,
-                              row[0, b0], row[0, b0 + 1], row[0, b0 + 2],
-                              row[0, b0 + 3], row[0, b0 + 4], row[0, b0 + 5])
-            h = box & act & (tmin <= t_best)
-            hits.append(h)
-            partial.append(jnp.sum(h.astype(jnp.float32), axis=0, keepdims=True))
-            # consensus entry distance for the ordered push (min over hit rays)
-            pmins.append(
-                jnp.min(jnp.where(h, tmin, T_FAR), axis=0, keepdims=True)
-            )
-        sums = jnp.sum(jnp.concatenate(partial, axis=0), axis=1, keepdims=True)
-        mins = jnp.min(jnp.concatenate(pmins, axis=0), axis=1, keepdims=True)
+        hits, mins = _wide_consensus(ox, oy, oz, ix, iy, iz, act, row, t_best)
         refs = [row[0, 48 + ch].astype(jnp.int32) for ch in range(8)]
         counts = [row[0, 56 + ch].astype(jnp.int32) for ch in range(8)]
-        hit_ch = [sums[ch, 0] > 0.0 for ch in range(8)]
+        hit_ch = [mins[ch, 0] < _BIG for ch in range(8)]
         leaf_ch = [counts[ch] >= 0 for ch in range(8)]
-        hit_leaf = [hit_ch[ch] & leaf_ch[ch] for ch in range(8)]
-        any_leaf = hit_leaf[0]
-        for ch in range(1, 8):
-            any_leaf = any_leaf | hit_leaf[ch]
 
-        def do_leaves(tt):
-            t_best, tri_best, nx, ny, nz, menc = tt
-            for ch in range(8):
-                safe = jnp.where(leaf_ch[ch], refs[ch], 0)
-                lrow = leaf_ref[pl.ds(safe, 1), :]
-                first = lrow[0, 10 * leaf_k].astype(jnp.int32)
-                count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
-                for k in range(leaf_k):
-                    tri = [lrow[0, 9 * k + cc] for cc in range(9)]
-                    t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
-                    better = (
-                        hits[ch] & h & (t < t_best) & (count > k) & hit_leaf[ch]
-                    )
-                    t_best = jnp.where(better, t, t_best)
-                    tri_best = jnp.where(better, first + k, tri_best)
-                    nx, ny, nz, menc = _update_attrs(
-                        better, tri, lrow[0, 10 * leaf_k + 2 + k], nx, ny, nz,
-                        menc,
-                    )
-            return t_best, tri_best, nx, ny, nz, menc
-
-        t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
-            any_leaf, do_leaves, lambda tt: tt,
-            (t_best, tri_best, nx, ny, nz, menc),
+        # union mask over hit leaf children; dense row loop over the node's
+        # contiguous leaf range (n_eff = 0 skips it without a cond)
+        union = jnp.zeros(ox.shape, jnp.bool_)
+        any_leaf = jnp.bool_(False)
+        for ch in range(8):
+            hl = hit_ch[ch] & leaf_ch[ch]
+            union = union | (hits[ch] & hl)
+            any_leaf = any_leaf | hl
+        lstart = row[0, 64].astype(jnp.int32)
+        ln = row[0, 65].astype(jnp.int32)
+        n_eff = jnp.where(any_leaf, ln, 0)
+        t_best, tri_best, nx, ny, nz, menc, _, _ = jax.lax.fori_loop(
+            0, n_eff, leaf_row,
+            (t_best, tri_best, nx, ny, nz, menc, lstart, union),
         )
 
         # ordered push: sort (entry, ref, push) descending by consensus entry
-        # so the NEAREST child pops first and t-pruning culls far subtrees —
-        # without this the wide walk loses the binary walk's near-first
-        # ordering and visits measurably more nodes. Scalar odd-even network
-        # (19 comparators); non-pushed children sink with key -inf.
+        # so the NEAREST child pops first and t-pruning culls far subtrees.
+        # Scalar odd-even network (19 comparators); non-pushed sink with -inf.
         keys = [
             jnp.where(
                 hit_ch[ch] & jnp.logical_not(leaf_ch[ch]),
@@ -620,10 +637,24 @@ def bvh8_walk_shadow(inner8_ref, leaf_ref, stack_ref, leaf_k,
                      min_visibility, t_eps,
                      ox, oy, oz, dx, dy, dz, maxd, act):
     """Wide-node transmission walk — bvh8_walk_closest's shadow counterpart
-    (shadowVisibility semantics, glsl:507-528)."""
+    (shadowVisibility semantics, glsl:507-528). Same round-3 shape: one
+    reduction per iteration, contiguous wide-leaf rows under a union mask,
+    unordered push (any-hit accumulation is order-independent)."""
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
     vis0 = jnp.ones(ox.shape, jnp.float32)
     stack_ref[0] = jnp.int32(0)
+
+    def leaf_row(r, carry):
+        vis, lstart, u = carry
+        lrow = leaf_ref[pl.ds(lstart + r, 1), :]
+        count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
+        for k in range(leaf_k):
+            tri = [lrow[0, 9 * k + c] for c in range(9)]
+            t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+            blocking = u & h & (t >= t_eps) & (t < maxd) & (count > k)
+            factor = lrow[0, 9 * leaf_k + k]  # transparency; 0 = opaque
+            vis = jnp.where(blocking, vis * factor, vis)
+        return vis, lstart, u
 
     def cond(c):
         return c[0] > 0
@@ -634,44 +665,30 @@ def bvh8_walk_shadow(inner8_ref, leaf_ref, stack_ref, leaf_k,
         node = stack_ref[sp]
         row = inner8_ref[pl.ds(node, 1), :]
         live = act & (vis > min_visibility)
-        hits, partial = [], []
-        for ch in range(8):
-            b0 = 6 * ch
-            tmin, box = _slab(ox, oy, oz, ix, iy, iz,
-                              row[0, b0], row[0, b0 + 1], row[0, b0 + 2],
-                              row[0, b0 + 3], row[0, b0 + 4], row[0, b0 + 5])
-            h = box & live & (tmin <= maxd)
-            hits.append(h)
-            partial.append(jnp.sum(h.astype(jnp.float32), axis=0, keepdims=True))
-        sums = jnp.sum(jnp.concatenate(partial, axis=0), axis=1, keepdims=True)
+        hits, mins = _wide_consensus(ox, oy, oz, ix, iy, iz, live, row, maxd)
         refs = [row[0, 48 + ch].astype(jnp.int32) for ch in range(8)]
         counts = [row[0, 56 + ch].astype(jnp.int32) for ch in range(8)]
-        hit_ch = [sums[ch, 0] > 0.0 for ch in range(8)]
+        hit_ch = [mins[ch, 0] < _BIG for ch in range(8)]
         leaf_ch = [counts[ch] >= 0 for ch in range(8)]
-        hit_leaf = [hit_ch[ch] & leaf_ch[ch] for ch in range(8)]
-        any_leaf = hit_leaf[0]
-        for ch in range(1, 8):
-            any_leaf = any_leaf | hit_leaf[ch]
 
-        def do_leaves(vv):
-            for ch in range(8):
-                safe = jnp.where(leaf_ch[ch], refs[ch], 0)
-                lrow = leaf_ref[pl.ds(safe, 1), :]
-                count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
-                for k in range(leaf_k):
-                    tri = [lrow[0, 9 * k + cc] for cc in range(9)]
-                    t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
-                    blocking = (
-                        hits[ch] & h & (t >= t_eps) & (t < maxd)
-                        & (count > k) & hit_leaf[ch]
-                    )
-                    factor = lrow[0, 9 * leaf_k + k]  # transparency; 0 opaque
-                    vv = jnp.where(blocking, vv * factor, vv)
-            dead = jnp.logical_not(jnp.any(act & (vv > min_visibility)))
-            return vv, dead
+        union = jnp.zeros(ox.shape, jnp.bool_)
+        any_leaf = jnp.bool_(False)
+        for ch in range(8):
+            hl = hit_ch[ch] & leaf_ch[ch]
+            union = union | (hits[ch] & hl)
+            any_leaf = any_leaf | hl
+        lstart = row[0, 64].astype(jnp.int32)
+        ln = row[0, 65].astype(jnp.int32)
+        n_eff = jnp.where(any_leaf, ln, 0)
+        vis, _, _ = jax.lax.fori_loop(0, n_eff, leaf_row, (vis, lstart, union))
 
-        vis, dead = jax.lax.cond(
-            any_leaf, do_leaves, lambda vv: (vv, jnp.bool_(False)), vis
+        # consensus early exit: visibility only drops at leaves, so the
+        # (reduction-priced) dead check runs only after leaf work
+        def dead_check(vv):
+            return jnp.logical_not(jnp.any(act & (vv > min_visibility)))
+
+        dead = jax.lax.cond(
+            any_leaf, dead_check, lambda vv: jnp.bool_(False), vis
         )
 
         for ch in range(8):
@@ -736,11 +753,7 @@ def tiered_walk_closest(top_ref, tre_inner_ref, tre_leaf_ref,
         rref = row[0, 13].astype(jnp.int32)
         lcnt = row[0, 14].astype(jnp.int32)
         rcnt = row[0, 15].astype(jnp.int32)
-        packed = jnp.sum(
-            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * _CMULT
-        )
-        any_l = (packed % _CMULT) > 0
-        any_r = packed >= _CMULT
+        any_l, any_r = _consensus2(hitl, hitr)
         l_tre = lcnt == -2
         r_tre = rcnt == -2
 
@@ -815,11 +828,7 @@ def tiered_walk_shadow(top_ref, tre_inner_ref, tre_leaf_ref,
         rref = row[0, 13].astype(jnp.int32)
         lcnt = row[0, 14].astype(jnp.int32)
         rcnt = row[0, 15].astype(jnp.int32)
-        packed = jnp.sum(
-            hitl.astype(jnp.int32) + hitr.astype(jnp.int32) * _CMULT
-        )
-        any_l = (packed % _CMULT) > 0
-        any_r = packed >= _CMULT
+        any_l, any_r = _consensus2(hitl, hitr)
 
         vis = jax.lax.cond(
             any_l & (lcnt == -2),

@@ -97,8 +97,15 @@ class SceneArrays:
     # traversal step tests 8 children, so packets take ~3x fewer iterations
     # and the per-iteration consensus reduction amortizes 4x. Same leaf table.
     bvh8_child_node: jax.Array  # (N8, 8) i32 — unified node id (-1 = padding)
-    bvh8_child_ref: jax.Array  # (N8, 8) i32 — inner index | leaf-table index
+    bvh8_child_ref: jax.Array  # (N8, 8) i32 — inner index | permuted leaf row
     bvh8_child_count: jax.Array  # (N8, 8) i32 — -1 internal; >=0 leaf count
+    # Dedicated wide-leaf layout: each wide node's leaf children are rows
+    # [leaf_start, leaf_start + leaf_n) of the PERMUTED leaf table
+    # (leaf8_table = leaf_table[bvh8_leaf_perm]), so the wide walk processes
+    # one node's leaf hits as a dense contiguous row loop.
+    bvh8_leaf_start: jax.Array  # (N8,) i32
+    bvh8_leaf_n: jax.Array  # (N8,) i32
+    bvh8_leaf_perm: jax.Array  # (L8,) i32 — original leaf row per permuted row
     # Tiered (HBM-streamed treelet) view for scenes whose tables exceed VMEM:
     # the BVH2 tree is cut into treelets of <= TRE_SI inner rows / <= TRE_SL
     # leaf rows each; the small top tree stays VMEM-resident and its treelet
@@ -312,6 +319,9 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         bvh8_child_node=jnp.asarray(uni["bvh8_child_node"]),
         bvh8_child_ref=jnp.asarray(uni["bvh8_child_ref"]),
         bvh8_child_count=jnp.asarray(uni["bvh8_child_count"]),
+        bvh8_leaf_start=jnp.asarray(uni["bvh8_leaf_start"]),
+        bvh8_leaf_n=jnp.asarray(uni["bvh8_leaf_n"]),
+        bvh8_leaf_perm=jnp.asarray(uni["bvh8_leaf_perm"]),
         top_child_node=jnp.asarray(uni["top_child_node"]),
         top_child_ref=jnp.asarray(uni["top_child_ref"]),
         top_child_count=jnp.asarray(uni["top_child_count"]),
@@ -727,7 +737,16 @@ def _collapse_bvh8(child_node: np.ndarray, child_ref: np.ndarray,
     leaf-subtree until 8 slots are filled (largest-first keeps the tree
     balanced, minimizing depth). Children that stay internal become new wide
     nodes. Padding slots carry node id -1 (inverted box on device — never
-    hit). The leaf table is shared with the BVH2 view."""
+    hit).
+
+    Dedicated wide-leaf layout (round-3): every BVH2 leaf is a child of
+    exactly one wide node, so the leaf table can be PERMUTED so each wide
+    node's leaf children occupy a contiguous row range [leaf_start,
+    leaf_start + leaf_n). The wide walk then processes one node's leaf hits
+    as a single dense row loop under the union of the hit leaf children's
+    masks — no per-child leaf refs, no per-child conds (the round-2 BVH8
+    loss mode). Emits bvh8_leaf_perm (original leaf row per permuted row)
+    plus per-node start/count."""
     ni = child_node.shape[0]
 
     # leaf counts per inner node (iterative reverse-BFS accumulation)
@@ -756,10 +775,14 @@ def _collapse_bvh8(child_node: np.ndarray, child_ref: np.ndarray,
         sizes[n] = max(s, 1)
 
     w_node, w_ref, w_count = [], [], []
+    leaf_start, leaf_n = [], []  # per wide node, into the permuted leaf table
+    leaf_perm = []  # permuted row -> original leaf-table row
     index_of = {0: 0}
     w_node.append(None)
     w_ref.append(None)
     w_count.append(None)
+    leaf_start.append(0)
+    leaf_n.append(0)
     queue = [0]
     while queue:
         b2 = queue.pop(0)
@@ -789,7 +812,17 @@ def _collapse_bvh8(child_node: np.ndarray, child_ref: np.ndarray,
                         entries.pop()
                 entries.append(pick)
                 break
+        # leaf children first (contiguous rows in the permuted leaf table),
+        # then internal children
         nodes8, refs8, counts8 = [], [], []
+        leaf_start[slot] = len(leaf_perm)
+        for node_id, ref, count in entries:
+            if count >= 0:  # leaf: claim the next permuted row
+                refs8.append(len(leaf_perm))
+                leaf_perm.append(ref)
+                nodes8.append(node_id)
+                counts8.append(count)
+        leaf_n[slot] = len(leaf_perm) - leaf_start[slot]
         for node_id, ref, count in entries:
             if count < 0:  # stays internal: becomes a wide node
                 if ref not in index_of:
@@ -797,12 +830,12 @@ def _collapse_bvh8(child_node: np.ndarray, child_ref: np.ndarray,
                     w_node.append(None)
                     w_ref.append(None)
                     w_count.append(None)
+                    leaf_start.append(0)
+                    leaf_n.append(0)
                     queue.append(ref)
                 refs8.append(index_of[ref])
-            else:
-                refs8.append(ref)
-            nodes8.append(node_id)
-            counts8.append(count)
+                nodes8.append(node_id)
+                counts8.append(count)
         while len(nodes8) < 8:  # padding
             nodes8.append(-1)
             refs8.append(0)
@@ -811,10 +844,15 @@ def _collapse_bvh8(child_node: np.ndarray, child_ref: np.ndarray,
         w_ref[slot] = refs8
         w_count[slot] = counts8
 
+    if not leaf_perm:  # degenerate single-leaf tree: keep shapes nonempty
+        leaf_perm = [0]
     return dict(
         bvh8_child_node=np.asarray(w_node, dtype=np.int32),
         bvh8_child_ref=np.asarray(w_ref, dtype=np.int32),
         bvh8_child_count=np.asarray(w_count, dtype=np.int32),
+        bvh8_leaf_start=np.asarray(leaf_start, dtype=np.int32),
+        bvh8_leaf_n=np.asarray(leaf_n, dtype=np.int32),
+        bvh8_leaf_perm=np.asarray(leaf_perm, dtype=np.int32),
     )
 
 
@@ -850,9 +888,14 @@ class WorldArrays:
     # first | count | pad]).
     inner_table: jax.Array  # (Ni, 16) f32
     leaf_table: jax.Array  # (L, W2) f32
-    # BVH8 wide-node table: row = [8 x (bmin(3) bmax(3)) | 8 refs | 8 counts]
-    # = 64 f32 columns; shares leaf_table with the BVH2 view.
-    inner8_table: jax.Array  # (N8, 64) f32
+    # BVH8 wide-node table: row = [8 x (bmin(3) bmax(3)) | 8 refs | 8 counts |
+    # leaf_start | leaf_n | pad] = 72 f32 columns. Leaf children live in
+    # leaf8_table rows [leaf_start, leaf_start + leaf_n) — the dedicated
+    # wide-leaf layout: one contiguous dense row loop per node, no per-child
+    # leaf refs or conds.
+    inner8_table: jax.Array  # (N8, 72) f32
+    leaf8_table: jax.Array  # (L8, W2) f32 — leaf_table rows permuted so each
+    # wide node's leaf children are contiguous
     # Tiered view (HBM-streamed treelets): top tree in inner_table format with
     # count -2 children referencing treelets; fixed-size per-treelet blocks
     # padded to 128 lanes, DMA'd into VMEM scratch by the tiered walks.
@@ -956,7 +999,7 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
         [cb[:, 0, :], cb[:, 1, :], cref, ccnt], axis=1
     )  # (Ni, 16)
 
-    # ---- BVH8 wide-node table ----
+    # ---- BVH8 wide-node table (dedicated wide-leaf layout) ----
     cn8 = arrays.bvh8_child_node  # (N8, 8)
     cb8 = node_bounds[jnp.maximum(cn8, 0)]  # (N8, 8, 6)
     cb8 = jnp.where((cn8 >= 0)[..., None], cb8, inverted)
@@ -965,9 +1008,14 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
             cb8.reshape(cn8.shape[0], 48),
             arrays.bvh8_child_ref.astype(jnp.float32),
             arrays.bvh8_child_count.astype(jnp.float32),
+            arrays.bvh8_leaf_start.astype(jnp.float32)[:, None],
+            arrays.bvh8_leaf_n.astype(jnp.float32)[:, None],
         ],
         axis=1,
-    )  # (N8, 64)
+    )  # (N8, 66)
+    pad8 = (-inner8_table.shape[1]) % 8
+    if pad8:
+        inner8_table = jnp.pad(inner8_table, ((0, 0), (0, pad8)))
 
     leaf_nodes = arrays.bvh2_leaf_node  # (L,)
     leaf_tri_block = leaf_block[leaf_nodes]  # (L, 9K)
@@ -981,6 +1029,10 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
     pad2 = (-leaf_table.shape[1]) % 8
     if pad2:
         leaf_table = jnp.pad(leaf_table, ((0, 0), (0, pad2)))
+    # wide-leaf view: same rows, permuted so each wide node's leaf children
+    # are contiguous (one device gather per frame; rows carry global tri ids,
+    # so contents are permutation-invariant)
+    leaf8_table = leaf_table[arrays.bvh8_leaf_perm]
 
     # ---- tiered (HBM-streamed treelet) tables ----
     # presence is a SHAPE property (jit-safe): dummies are (1, 1, 2)
@@ -1023,6 +1075,7 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
         records=records,
         inner_table=inner_table,
         inner8_table=inner8_table,
+        leaf8_table=leaf8_table,
         top_table=top_table,
         tre_inner=tre_inner,
         tre_leaf=tre_leaf,

@@ -43,6 +43,14 @@ for spec in variants:
     wide = "+w8" in base
     dense = "+dl" in base
     base = base.replace("+oct", "").replace("+w8", "").replace("+dl", "")
+    fuse = 1
+    if "+f" in base:
+        pre, _, fv = base.partition("+f")
+        digits = ""
+        while fv and fv[0].isdigit():
+            digits, fv = digits + fv[0], fv[1:]
+        fuse = int(digits)
+        base = pre + fv  # keep any further suffixes (e.g. ":5")
     rng = "reference"
     if "+hash" in base:
         base = base.replace("+hash", "")
@@ -57,14 +65,14 @@ for spec in variants:
 
     # marginal per-sample cost: (t(spp_hi) - t(spp_lo)) / (hi - lo) inside one
     # jit cancels the fixed per-dispatch transport staging AND its noise
-    lo, hi = 4, 16
+    lo, hi = (4, 16) if fuse <= 4 else (fuse, fuse * 4)
     times = {}
     rays_per_sample = 0
     for spp in (lo, hi):
         cfg = RenderConfig(width=W, height=H, spp=spp, max_bounces=mb,
                            kernels=kern, octant_bounce_walks=oct_walks,
                            wide_nodes=wide, dense_leaves=dense,
-                           leaf_size=leaf, rng=rng)
+                           leaf_size=leaf, rng=rng, sample_fuse=fuse)
         arrays = pack_scene(scene, cfg)
         fn = jax.jit(lambda a, c, cfg=cfg: render_radiance_with_stats(a, c, cfg))
         times[spp], (_, rays) = best_time(fn, arrays, cam)

@@ -72,9 +72,26 @@ print(f"# field: {N_INSTANCES} Suzannes, {total_tris} world triangles",
 cam = {k: jnp.asarray(v) for k, v in scene.camera.device_params().items()}
 mode = sys.argv[2] if len(sys.argv) > 2 else "tiered"  # tiered | chunked
 TRE_ROWS = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+# extra config variants, e.g. "+oct" (octant bounce walks), "+f4" (sample
+# fusion), "+rebin" — applied to the benched config
+variant = sys.argv[4] if len(sys.argv) > 4 else ""
+
+
+def apply_variant(cfg):
+    if "+oct" in variant:
+        cfg = cfg.replace(octant_bounce_walks=True)
+    if "+rebin" in variant:
+        cfg = cfg.replace(bounce_rebin=True)
+    if "+f" in variant:
+        fv = variant.partition("+f")[2].split("+")[0]
+        if fv.isdigit():
+            cfg = cfg.replace(sample_fuse=int(fv))
+    return cfg
+
 
 if mode == "chunked":
     cfg = RenderConfig(width=W, height=H, spp=SPP, max_bounces=5, tiered="off")
+    cfg = apply_variant(cfg)
     chunks = partition_scene(scene)
     arrays_in = tuple(pack_scene(c, cfg) for c in chunks)
     fn = jax.jit(
@@ -86,6 +103,7 @@ else:
 
     cfg = RenderConfig(width=W, height=H, spp=SPP, max_bounces=5,
                        treelet_rows=TRE_ROWS)
+    cfg = apply_variant(cfg)
     arrays_in = pack_scene(scene, cfg)  # tiered view auto-built at this size
     fn = jax.jit(lambda a, c: render_radiance_with_stats(a, c, cfg))
     detail = (
@@ -93,6 +111,43 @@ else:
         f"{arrays_in.tre_child_node.shape[1]} rows, "
         f"top {arrays_in.top_child_node.shape[0]} rows"
     )
+
+# ---- correctness gate (round-2 verdict weak #2): the benched path must
+# reproduce the portable XLA walk's image at reduced size before any number
+# is printed — a fast wrong image must never produce a benchmark result.
+from rayzen_tpu.image_io import ssim
+from rayzen_tpu.integrator import render_radiance
+
+GW, GH = 320, 180
+gate_scene = Scene(camera=Camera(
+    position=scene.camera.position, target=scene.camera.target,
+    aspect_ratio=GW / GH), materials=scene.materials, lights=scene.lights,
+    game_objects=scene.game_objects)
+gcam = {k: jnp.asarray(v) for k, v in gate_scene.camera.device_params().items()}
+gate_cfg = cfg.replace(width=GW, height=GH, spp=1)
+xla_cfg = gate_cfg.replace(kernels="xla", tiered="off")
+t0 = time.perf_counter()
+oracle = np.asarray(
+    render_radiance(pack_scene(gate_scene, xla_cfg), gcam, xla_cfg)
+)
+if mode == "chunked":
+    gate_chunks = tuple(
+        pack_scene(c, gate_cfg) for c in partition_scene(gate_scene)
+    )
+    gate_img = np.asarray(
+        render_radiance_chunked(gate_chunks, gcam, gate_cfg)
+    )
+else:
+    gate_img = np.asarray(
+        render_radiance(pack_scene(gate_scene, gate_cfg), gcam, gate_cfg)
+    )
+gate_s = ssim(gate_img, oracle)
+print(f"# correctness gate [{mode}]: SSIM {gate_s:.4f} vs XLA oracle "
+      f"({GW}x{GH}, {time.perf_counter() - t0:.0f} s)", file=sys.stderr)
+if gate_s < 0.98:
+    print(f"BENCH REFUSED: {mode} SSIM {gate_s:.4f} < 0.98 vs the XLA "
+          "oracle — fix correctness first", file=sys.stderr)
+    sys.exit(1)
 
 t0 = time.perf_counter()
 img, rays = fn(arrays_in, cam)
