@@ -111,6 +111,15 @@ class RenderConfig:
     # knob for scenes with long-lived incoherent waves.
     octant_bounce_walks: bool = False
 
+    # Cross-packet bounce-wave re-binning (staged pipelines only: chunked big
+    # scenes and kernels="pallas-nomega"): argsort each bounce wave by origin
+    # Morton cell + direction octant at the XLA level so every Pallas packet
+    # gets spatially/directionally tight rays — consensus walks then visit
+    # their own region instead of the union of an incoherent pixel tile
+    # (dead rays sort to the back, compacting for free). The fused megakernel
+    # ignores this (its bounce loop never leaves the kernel).
+    bounce_rebin: bool = False
+
     # Compact bounce waves (stream-compact alive rays to the front) before
     # traversal so packets of dead rays exit after one step. Pallas path only.
     # Off by default: measured on v5e with the demo scene, the prefix-sum +

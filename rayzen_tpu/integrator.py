@@ -223,11 +223,55 @@ def trace_wave(
             normal=h.normal[pos], mat=h.mat[pos],
         )
 
+    rebin = (
+        cfg.bounce_rebin and trace_fn is not None
+        and trace is not brute_force_world
+    )
+
+    def rebinned_trace(origin, direction, alive):
+        """Cross-packet bounce-wave re-binning (round-3, PERFORMANCE.md
+        large-scene roadmap): sort the whole wave by origin Morton cell +
+        direction octant before the packet walks. Packet-consensus traversal
+        visits the UNION of a packet's rays' node sets; after a diffuse
+        bounce a pixel-tile packet's union approaches the whole tree (and on
+        chunked big scenes, every chunk). Re-binned packets are spatially and
+        directionally tight, so each packet's walk collapses to its own
+        region — and dead rays sort to the back, compacting for free. One
+        argsort + row gathers at the XLA level per bounce wave; per-lane
+        reordering inside Mosaic is impossible (no per-lane gather), outside
+        it is cheap."""
+        n = alive.shape[0]
+        lo = jnp.min(jnp.where(alive[:, None], origin, 1e30), axis=0)
+        hi = jnp.max(jnp.where(alive[:, None], origin, -1e30), axis=0)
+        span = jnp.maximum(hi - lo, 1e-6)
+        cell = jnp.clip((origin - lo) / span * 8.0, 0.0, 7.0).astype(jnp.int32)
+        octant = (
+            (direction[:, 0] > 0).astype(jnp.int32)
+            + 2 * (direction[:, 1] > 0).astype(jnp.int32)
+            + 4 * (direction[:, 2] > 0).astype(jnp.int32)
+        )
+        key = ((cell[:, 0] * 8 + cell[:, 1]) * 8 + cell[:, 2]) * 8 + octant
+        key = jnp.where(alive, key, jnp.int32(1 << 30))  # dead to the back
+        order = jnp.argsort(key)
+        inv = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        h = trace(ws, origin[order], direction[order], alive[order])
+        from .ops.traverse import Hit as _Hit
+
+        return _Hit(
+            t=h.t[inv], point=h.point[inv], tri=h.tri[inv],
+            inst=h.inst[inv], found=h.found[inv],
+            normal=h.normal[inv], mat=h.mat[inv],
+        )
+
     def bounce_step(bounce, origin, direction, color, throughput, alive, cur_ior,
                     rays, with_lighting: bool):
         rays = rays + jnp.sum(alive.astype(jnp.int32))
         if with_lighting:
             hit = trace_primary(ws, origin, direction, alive)  # coherent wave
+        elif rebin:
+            hit = rebinned_trace(origin, direction, alive)
         elif compact:
             hit = compacted_trace(origin, direction, alive)
         else:

@@ -127,9 +127,24 @@ gcam = {k: jnp.asarray(v) for k, v in gate_scene.camera.device_params().items()}
 gate_cfg = cfg.replace(width=GW, height=GH, spp=1)
 xla_cfg = gate_cfg.replace(kernels="xla", tiered="off")
 t0 = time.perf_counter()
-oracle = np.asarray(
-    render_radiance(pack_scene(gate_scene, xla_cfg), gcam, xla_cfg)
+# the XLA oracle render takes ~10 min at this scene size — cache it on disk
+# keyed by scene content + gate geometry (the oracle itself never changes)
+import hashlib
+
+tf_hash = hashlib.sha256(gate_scene.transforms().tobytes()).hexdigest()[:8]
+oracle_path = os.path.join(
+    ".rayzen_cache",
+    f"oracle_{gate_scene.geometry_hash()}_{tf_hash}_{GW}x{GH}"
+    f"_{xla_cfg.max_bounces}.npz",
 )
+if os.path.exists(oracle_path):
+    oracle = np.load(oracle_path)["image"].astype(np.float32)
+else:
+    oracle = np.asarray(
+        render_radiance(pack_scene(gate_scene, xla_cfg), gcam, xla_cfg)
+    )
+    os.makedirs(".rayzen_cache", exist_ok=True)
+    np.savez_compressed(oracle_path, image=oracle.astype(np.float16))
 if mode == "chunked":
     gate_chunks = tuple(
         pack_scene(c, gate_cfg) for c in partition_scene(gate_scene)

@@ -1,0 +1,123 @@
+"""Recorded 1080p interactive session on the real TPU (BASELINE config 5:
+"interactive camera fly-through at 1080p with debug overlays").
+
+Drives InteractiveSession through a scripted fly-through — WASD moves, mouse
+looks, overlay toggles, a click pick — at 1920x1080 / 1 spp on the demo scene,
+logging per-command frame latency. Writes the transcript with timings to
+docs/INTERACTIVE_1080p.md and a final frame snapshot to
+docs/images/interactive_1080p.png.
+
+The reference is a vsync'd GLFW window (main.cpp:637-654); here presentation
+is the PNG-refresh analog, excluded from the per-frame latency (the swap is
+measured separately). The tunneled transport adds a fixed per-dispatch cost
+(docs/PERFORMANCE.md "Transport discovery") that a directly-attached chip
+does not pay; the log records both the total and the renderer's own phase
+breakdown so the kernel-side latency is visible.
+"""
+
+import io
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rayzen_tpu.cache import setup_compile_cache
+from rayzen_tpu.config import RenderConfig
+from rayzen_tpu.demo import build_demo_scene
+from rayzen_tpu.image_io import write_png
+from rayzen_tpu.interactive import InteractiveSession
+from rayzen_tpu.renderer import Renderer
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+setup_compile_cache(os.path.join(HERE, ".rayzen_cache", "xla"))
+
+W, H = 1920, 1080
+cfg = RenderConfig(
+    width=W, height=H, spp=1, max_bounces=5,
+    show_fps_overlay=True, debug_show_lights=True,
+    cache_dir=os.path.join(HERE, ".rayzen_cache"),
+)
+scene = build_demo_scene(W, H)
+
+t0 = time.perf_counter()
+r = Renderer(scene, cfg, async_compile=False)
+startup_s = time.perf_counter() - t0
+r.warmup(2)
+
+COMMANDS = [
+    "w", "w", "w 0.3", "look 40 0", "d", "d 0.3", "look 60 -10",
+    "a", "s 0.4", "look -80 5", "w", "w", "b",  # BVH wireframes on
+    "look 30 0", "w 0.2", "n",  # BLAS mode
+    "click 960 540", "look -30 10", "b",  # wireframes off
+    "w", "a 0.3", "look 20 -5", "w", "w 0.25", "look -15 0", "s",
+    "d", "look 10 5", "w", "w",
+]
+
+status = io.StringIO()
+sess = InteractiveSession(r, out_path=None, status=status)
+
+rows = []
+t0 = time.perf_counter()
+sess.run(iter([]))  # first frame (no commands)
+rows.append(("<first frame>", (time.perf_counter() - t0) * 1e3))
+for cmd in COMMANDS:
+    t0 = time.perf_counter()
+    sess.handle(cmd)
+    rows.append((cmd, (time.perf_counter() - t0) * 1e3))
+
+# presentation cost (the PNG-refresh swap analog), measured separately
+t0 = time.perf_counter()
+png_path = os.path.join(HERE, "docs", "images", "interactive_1080p.png")
+os.makedirs(os.path.dirname(png_path), exist_ok=True)
+write_png(png_path, sess.frame)
+present_ms = (time.perf_counter() - t0) * 1e3
+
+lat = np.asarray([ms for _, ms in rows[1:]])  # steady-state (skip first)
+prof = r.profiler
+dev = "unknown"
+try:
+    import jax
+
+    dev = jax.devices()[0].device_kind
+except Exception:
+    pass
+
+lines = [
+    "# Recorded interactive session — 1080p on TPU",
+    "",
+    f"BASELINE config 5: interactive fly-through at 1920x1080, 1 spp, "
+    f"5 bounces, FPS + light overlays (BVH wireframes toggled mid-session), "
+    f"demo scene, device: {dev}.",
+    "",
+    f"- startup (pack + jit compile): {startup_s:.1f} s",
+    f"- steady-state command->frame latency over {len(lat)} commands: "
+    f"median {np.median(lat):.0f} ms, mean {lat.mean():.0f} ms, "
+    f"p90 {np.percentile(lat, 90):.0f} ms",
+    f"- presentation (PNG swap analog, host-side): {present_ms:.0f} ms",
+    f"- fps EMA at session end (alpha 0.1, main.cpp:624-630): "
+    f"{prof.fps_ema or 0.0:.1f}",
+    "",
+    "The tunneled transport carries a fixed per-dispatch staging cost "
+    "(docs/PERFORMANCE.md); on a directly-attached chip the kernel-side "
+    "frame time is the floor.",
+    "",
+    "| command | latency ms |",
+    "|---|---|",
+]
+for cmd, ms in rows:
+    lines.append(f"| `{cmd}` | {ms:.0f} |")
+lines.append("")
+lines.append("## Session status transcript")
+lines.append("")
+lines.append("```")
+lines.append(status.getvalue().rstrip())
+lines.append("```")
+
+out_md = os.path.join(HERE, "docs", "INTERACTIVE_1080p.md")
+with open(out_md, "w") as f:
+    f.write("\n".join(lines) + "\n")
+print(f"median {np.median(lat):.0f} ms/frame over {len(lat)} commands; "
+      f"log -> {out_md}")

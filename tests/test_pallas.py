@@ -114,6 +114,23 @@ class TestSampleMegakernel:
         )
         assert np.abs(fused - unfused).max() < 1e-4
 
+    def test_bounce_rebin_is_bit_identical(self, small_arrays, small_camera):
+        """Cross-packet bounce-wave re-binning (argsort by Morton cell +
+        direction octant at the XLA level) is a pure permutation: the staged
+        pipeline must produce the same image to float ulps (XLA fuses the
+        permuted layout differently, so a strict bit-compare can flip a
+        pixel by 1 ulp; a permutation BUG would show O(1) diffs)."""
+        cfg = RenderConfig(
+            width=48, height=32, spp=1, max_bounces=4, kernels="pallas-nomega"
+        )
+        base = np.asarray(render_radiance(small_arrays, small_camera, cfg))
+        rebin = np.asarray(
+            render_radiance(
+                small_arrays, small_camera, cfg.replace(bounce_rebin=True)
+            )
+        )
+        assert np.abs(base - rebin).max() < 1e-6
+
     def test_wide_nodes_match(self, small_arrays, small_camera):
         """BVH8 wide-node walks (pack-time collapse + 8-child consensus) give
         the same image as the BVH2 walks."""
