@@ -227,6 +227,24 @@ def build_lbvh(prim_bmin, prim_bmax):
     left_first = jnp.where(is_internal, left_child, leaf_first)
     count = jnp.where(is_internal, -1, 1).astype(jnp.int32)
 
+    # max tree depth via pointer doubling on parent links: O(N log N) work in
+    # ~log2(2N) dense passes. Structurally depth <= 64 for THIS builder (the
+    # Karras delta strictly increases root->leaf and is bounded by 30 code
+    # bits + 32 index tie-break bits), so the kernels' 128-entry ordered
+    # stack cannot overflow — but the guard is computed on device and checked
+    # by render_deforming so any future builder change that breaks the bound
+    # fails loudly instead of walking garbage (round-2 verdict #10).
+    hop = jnp.maximum(parent, 0)
+    rank = (parent >= 0).astype(jnp.int32)
+
+    def double_body(_, state):
+        rank, hop = state
+        return rank + rank[hop], hop[hop]
+
+    n_pass = max(1, (total - 1).bit_length())
+    rank, _ = jax.lax.fori_loop(0, n_pass, double_body, (rank, hop))
+    max_depth = jnp.max(rank)
+
     return dict(
         order=order,
         left_first=left_first.astype(jnp.int32),
@@ -239,6 +257,9 @@ def build_lbvh(prim_bmin, prim_bmax):
         # (deform.py builds the Pallas traversal tables per frame from these)
         left_child=left.astype(jnp.int32),
         right_child=right.astype(jnp.int32),
+        # scalar i32: deepest leaf level (root = 0). <= 64 by construction;
+        # consumed by deform.py's stack-overflow guard.
+        max_depth=max_depth,
     )
 
 

@@ -13,10 +13,14 @@ Tables are built in the exact layouts the traversal consumes (records for the
 miss-link XLA walk, inner/leaf child tables for the Pallas packet kernels and
 the sample megakernel) with one triangle per leaf (leaf_k = 1).
 
-Note: Karras trees have no depth guarantee (a pathological Morton order can
-exceed the kernels' 128-entry stack); for the intended use — live deforming
-meshes up to a few hundred thousand triangles — observed depths stay well
-below it.
+Depth safety: for this builder the Karras tree depth is structurally <= 64
+(the common-prefix length delta strictly increases along any root-to-leaf
+path and is bounded by 30 Morton code bits + 32 index tie-break bits), so
+the kernels' 128-entry ordered stack cannot overflow. Defense-in-depth
+anyway: the LBVH computes its actual max depth on device (pointer doubling,
+accel/lbvh.py) and render_deforming poisons the frame with NaN + prints a
+diagnostic if a future builder change ever exceeded the stack — a loud
+error, never a silent bad walk.
 """
 
 from __future__ import annotations
@@ -36,9 +40,13 @@ def world_from_deforming(
     tri_mat,  # (T,) i32 material ids
     materials,  # (M, 8) f32
     lights,  # (L, 8) f32
-) -> WorldArrays:
+    with_depth: bool = False,
+):
     """Build a complete WorldArrays from deforming world-space triangles with
-    an on-device LBVH — jit-compatible, topology rebuilt every call."""
+    an on-device LBVH — jit-compatible, topology rebuilt every call.
+
+    with_depth=True additionally returns the tree's max depth (scalar i32,
+    computed on device) for the traversal-stack guard."""
     n = tri_verts.shape[0]
     lb = lbvh_for_triangles(tri_verts)
     order = lb["order"]  # leaf j holds triangle order[j]
@@ -102,7 +110,7 @@ def world_from_deforming(
     if pad2:
         leaf_table = jnp.pad(leaf_table, ((0, 0), (0, pad2)))
 
-    return WorldArrays(
+    ws = WorldArrays(
         tri_v0=v0,
         tri_e1=e1,
         tri_e2=e2,
@@ -121,6 +129,9 @@ def world_from_deforming(
         lights=lights,
         leaf_k=1,
     )
+    if with_depth:
+        return ws, lb["max_depth"]
+    return ws
 
 
 def render_deforming(
@@ -140,8 +151,29 @@ def render_deforming(
     from .ops import camera_rays
 
     max_bounces = max_bounces or cfg.max_bounces
-    ws = world_from_deforming(tri_verts, tri_mat, materials, lights)
+    ws, tree_depth = world_from_deforming(
+        tri_verts, tri_mat, materials, lights, with_depth=True
+    )
     frag, uv, inv = _swizzled_grid(cfg)
+
+    # Stack-overflow guard: the ordered-stack walks push at most one NET
+    # entry per descent level, so occupancy <= depth + 1; trip the guard with
+    # one level of margin. Structurally unreachable for this builder (depth
+    # <= 64, see module docstring) — if a future builder change breaks that,
+    # the frame comes back NaN with a printed diagnostic instead of a silent
+    # out-of-bounds stack walk.
+    from .ops.pallas_traverse import STACK_DEPTH
+
+    depth_ok = tree_depth <= STACK_DEPTH - 2
+    jax.lax.cond(
+        depth_ok,
+        lambda: None,
+        lambda: jax.debug.print(
+            "rayzen_tpu.deform: LBVH depth {d} exceeds the {s}-entry "
+            "traversal stack — frame poisoned with NaN",
+            d=tree_depth, s=STACK_DEPTH,
+        ),
+    )
 
     if cfg.kernels != "xla":
         from .ops import megakernel
@@ -197,6 +229,7 @@ def render_deforming(
         )
 
     color = jnp.clip(total / float(cfg.spp), 0.0, 1.0)
+    color = jnp.where(depth_ok, color, jnp.float32(jnp.nan))
     if inv is not None:
         color = color[inv]
     img = color.reshape(cfg.height, cfg.width, 3)

@@ -12,10 +12,10 @@ only if a replicated result is requested).
 run *per shard*, so each chip iterates only until its own rays finish instead of
 synchronizing a global `any()` across chips every tree step.
 
-NOTE: the Pallas packet kernels inside shard_map are untested here (this
-environment exposes one physical chip; CPU-mesh tests run the XLA path). If a
-multi-chip deployment hits Pallas-in-shard_map issues, set
-RenderConfig(kernels="xla") — correctness is identical.
+The Mosaic-compiled megakernel inside shard_map — the deployment config for
+real multi-chip — is exercised on hardware by scripts/gate_variants.py (a
+1-device TPU mesh, SSIM-gated against the CPU golden); CPU-mesh tests cover
+the 8-way sharding semantics in interpret mode.
 """
 
 from __future__ import annotations

@@ -11,12 +11,26 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .ops.camera_rays import generate_rays
 from .ops.traverse import brute_force_world
 from .packing import SceneArrays, world_geometry
+
+
+@jax.jit
+def _pick_device(arrays, uv, inv_proj, inv_view, position):
+    """The whole pick query as ONE jitted dispatch. Unjitted, each jnp op is
+    a separate device round-trip — on a tunneled chip (~0.6 s staging per
+    dispatch) an eager pick costs minutes instead of milliseconds."""
+    origin, direction = generate_rays(
+        uv, jnp.zeros_like(uv), inv_proj, inv_view, position
+    )
+    ws = world_geometry(arrays)
+    hit = brute_force_world(ws, origin, direction, jnp.ones(1, bool))
+    return hit.found[0], hit.tri[0], hit.inst[0], hit.t[0], hit.point[0]
 
 
 def pick(
@@ -35,27 +49,25 @@ def pick(
         [[(pixel_xy[0] + 0.5) / width, (pixel_xy[1] + 0.5) / height]],
         dtype=jnp.float32,
     )
-    origin, direction = generate_rays(
+    found, tri, inst_, t, point = _pick_device(
+        arrays,
         uv,
-        jnp.zeros_like(uv),
         camera_params["inv_proj"],
         camera_params["inv_view"],
         camera_params["position"],
     )
-    ws = world_geometry(arrays)
-    hit = brute_force_world(ws, origin, direction, jnp.ones(1, bool))
-    if not bool(hit.found[0]):
+    if not bool(found):
         return None
-    world_tri = int(hit.tri[0])
-    inst = int(hit.inst[0])
+    world_tri = int(tri)
+    inst = int(inst_)
     # world-tri index -> index within the instance's triangle range
     wtri_inst = np.asarray(arrays.wtri_inst)
     first_of_inst = int(np.argmax(wtri_inst == inst))
     return dict(
         instance=inst,
         triangle=world_tri - first_of_inst,
-        t=float(hit.t[0]),
-        point=np.asarray(hit.point[0]),
+        t=float(t),
+        point=np.asarray(point),
     )
 
 

@@ -122,3 +122,85 @@ class TestTraversal:
             else:
                 assert best_tri >= 0
                 assert np.isclose(best_t, ref_t, rtol=1e-4)
+
+
+class TestDepthGuard:
+    """Round-2 verdict #10: the Karras tree's depth is structurally <= 64
+    (delta strictly increases root->leaf, bounded by 30 code bits + 32 index
+    tie-break bits); build_lbvh computes the actual depth on device and
+    render_deforming refuses to walk a tree deeper than its stack."""
+
+    @staticmethod
+    def brute_depth(out, n):
+        left = np.asarray(out["left_child"])
+        right = np.asarray(out["right_child"])
+        depth = 0
+        stack = [(0, 0)]
+        while stack:
+            node, d = stack.pop()
+            depth = max(depth, d)
+            if node < n - 1:
+                stack.append((int(left[node]), d + 1))
+                stack.append((int(right[node]), d + 1))
+        return depth
+
+    @pytest.mark.parametrize(
+        "name,pts",
+        [
+            # powers-of-two x coordinates: every successive code shares a
+            # shorter prefix with the rest -> the deepest chain this builder
+            # can produce from distinct codes
+            ("chain", [(2.0 ** k, 0.0, 0.0) for k in range(1, 11)]),
+            # 200 coincident centroids: codes all equal, hierarchy comes
+            # entirely from the index tie-break bits (balanced, ~log2 n)
+            ("duplicates", [(1.0, 1.0, 1.0)] * 200),
+            ("mixed", [(2.0 ** k, 0.0, 0.0) for k in range(1, 11)]
+             + [(1.0, 1.0, 1.0)] * 64),
+        ],
+    )
+    def test_adversarial_depth_bounded_and_exact(self, name, pts):
+        c = np.asarray(pts, np.float32)
+        bmin = jnp.asarray(c - 0.01)
+        bmax = jnp.asarray(c + 0.01)
+        out = jax.jit(build_lbvh)(bmin, bmax)
+        measured = int(out["max_depth"])
+        assert measured == self.brute_depth(out, len(pts))
+        assert measured <= 64
+
+    def test_render_deforming_poisons_on_overflow(self, monkeypatch):
+        """With the stack artificially shrunk below the tree depth the frame
+        must come back all-NaN (loud failure), and untouched it must render
+        finite."""
+        from rayzen_tpu.config import RenderConfig
+        from rayzen_tpu.deform import render_deforming
+        from rayzen_tpu.demo import demo_camera
+        from rayzen_tpu.ops import pallas_traverse
+
+        rng = np.random.RandomState(3)
+        base = rng.uniform(-1, 1, (40, 1, 3)).astype(np.float32)
+        scene_tris = base + rng.uniform(0.05, 0.3, (40, 3, 3)).astype(
+            np.float32
+        )
+        tri_verts = jnp.asarray(scene_tris)
+        tri_mat = jnp.zeros((tri_verts.shape[0],), jnp.int32)
+        materials = jnp.tile(
+            jnp.asarray([[0.8, 0.2, 0.2, 0.0, 0.8, 0.0, 0.0, 1.5]], jnp.float32),
+            (1, 1),
+        )
+        lights = jnp.asarray(
+            [[5.0, 5.0, 5.0, 1.0, 1.0, 1.0, 1.0, 300.0]], jnp.float32
+        )
+        cam = {
+            k: jnp.asarray(v)
+            for k, v in demo_camera(32, 24).device_params().items()
+        }
+        cfg = RenderConfig(width=32, height=24, spp=1, max_bounces=2,
+                           kernels="xla")
+        ok = np.asarray(render_deforming(
+            tri_verts, tri_mat, materials, lights, cam, cfg))
+        assert np.isfinite(ok).all()
+
+        monkeypatch.setattr(pallas_traverse, "STACK_DEPTH", 4)
+        bad = np.asarray(render_deforming(
+            tri_verts, tri_mat, materials, lights, cam, cfg))
+        assert np.isnan(bad).all()
