@@ -24,7 +24,7 @@ import numpy as np
 
 from . import logging_util as log
 from .config import RenderConfig
-from .packing import InstanceMeta, SceneArrays, pack_scene
+from .packing import InstanceMeta, SceneArrays, pack_scene_host
 from .scene import Scene
 
 _ARRAY_FIELDS = [
@@ -59,7 +59,9 @@ def save_scene_arrays(path: str, arrays: SceneArrays) -> None:
 
 def load_scene_arrays(path: str) -> SceneArrays:
     with np.load(path) as z:
-        kwargs = {f: jnp.asarray(z[f]) for f in _ARRAY_FIELDS}
+        # one batched device transfer (vs one staged dispatch per field on
+        # tunneled transports)
+        kwargs = jax.device_put({f: z[f] for f in _ARRAY_FIELDS})
         meta = tuple(InstanceMeta(*(int(x) for x in row)) for row in z["instance_meta"])
     return SceneArrays(instance_meta=meta, **kwargs)
 
@@ -92,9 +94,11 @@ def cached_pack_scene(
         except Exception as e:  # corrupt cache -> rebuild (graceful degradation)
             log.error(f"Scene cache load failed ({e}); rebuilding")
     t0 = time.perf_counter()
-    arrays = pack_scene(scene, cfg)
+    host_arrays = pack_scene_host(scene, cfg)
+    arrays = jax.device_put(host_arrays)  # one batched transfer
     try:
-        save_scene_arrays(path, arrays)
+        # persist the numpy-leaved pack — no device readback
+        save_scene_arrays(path, host_arrays)
         log.info(
             f"Scene cache written: {path} "
             f"(build {(time.perf_counter() - t0) * 1e3:.1f} ms)"

@@ -93,6 +93,13 @@ class RenderConfig:
     # divisor of the per-dispatch sample count <= this value; 1 disables.
     sample_fuse: int = 1
 
+    # BVH2 walks pop TWO stack entries per while_loop trip: the two nodes'
+    # row fetches, slab tests and packed consensus reductions are independent
+    # so Mosaic overlaps their latencies, amortizing the per-iteration
+    # overhead floor across two visits (traversal order becomes pairwise
+    # rather than strictly depth-first; t-pruning unaffected).
+    dual_pop: bool = False
+
     # Megakernel BVH2 leaf handling: process both children's leaf triangles
     # masked-dense every traversal step instead of gating on lax.conds (a
     # Mosaic cond costs ~2 us; 2*leaf_size masked Moller-Trumbore tests ~1 us).

@@ -493,10 +493,12 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
         walk_shadow = bvh8_walk_shadow
     else:
         walk_closest = functools.partial(
-            bvh2_walk_closest, dense_leaves=cfg.dense_leaves
+            bvh2_walk_closest, dense_leaves=cfg.dense_leaves,
+            dual_pop=cfg.dual_pop,
         )
         walk_shadow = functools.partial(
-            bvh2_walk_shadow, dense_leaves=cfg.dense_leaves
+            bvh2_walk_shadow, dense_leaves=cfg.dense_leaves,
+            dual_pop=cfg.dual_pop,
         )
     min_vis, shadow_eps = cfg.shadow_min_visibility, 1e-3
 
@@ -807,6 +809,11 @@ def sample_wave(
         ] + [ray_spec] * 3,
         out_specs=(ray_spec,) * 4,
         scratch_shapes=scratch,
+        # Mosaic's default scoped-VMEM limit is 16 MiB; the fused-sample
+        # kernels (sample_fuse > 1) carry fuse x the live wave state and need
+        # more. v5e has 128 MiB VMEM per core — leave headroom for the tables
+        # and DMA buffers, raise the scoped limit for the kernel body.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(samp_arg, key_arg, *table_operands,
       ws.materials, lights, cam, *tiles)

@@ -242,7 +242,7 @@ STACK_DEPTH = 128  # max tree depth for the ordered stack kernels
 
 def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
                       ox, oy, oz, dx, dy, dz, act, dense_leaves: bool = False,
-                      t_init=None, init_state=None):
+                      t_init=None, init_state=None, dual_pop: bool = False):
     """In-kernel ordered-stack closest-hit walk (shared by the BVH2 packet
     kernel and the bounce megakernel). Each iteration pops one internal node,
     tests BOTH children's boxes (stored in the parent row), processes leaf
@@ -293,10 +293,10 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
     def cond(c):
         return c[0] > 0
 
-    def body(c):
-        sp, t_best, tri_best, nx, ny, nz, menc = c
-        sp = sp - 1
-        node = stack_ref[sp]
+    def node_step(node, valid, sp, t_best, tri_best, nx, ny, nz, menc):
+        """Process one popped internal node: test both children's boxes,
+        handle leaf children inline, push hit internal children. ``valid``
+        masks out the dummy second pop of the dual-pop body (scalar)."""
         row = inner_ref[pl.ds(node, 1), :]
         tminl, boxl = _slab(ox, oy, oz, ix, iy, iz,
                             row[0, 0], row[0, 1], row[0, 2],
@@ -306,6 +306,9 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
                             row[0, 9], row[0, 10], row[0, 11])
         hitl = boxl & act & (tminl <= t_best)
         hitr = boxr & act & (tminr <= t_best)
+        if valid is not None:
+            hitl = hitl & valid
+            hitr = hitr & valid
         lref = row[0, 12].astype(jnp.int32)
         rref = row[0, 13].astype(jnp.int32)
         lcnt = row[0, 14].astype(jnp.int32)
@@ -360,8 +363,36 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
         sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
         return sp, t_best, tri_best, nx, ny, nz, menc
 
+    def body(c):
+        sp, t_best, tri_best, nx, ny, nz, menc = c
+        sp = sp - 1
+        node = stack_ref[sp]
+        return node_step(node, None, sp, t_best, tri_best, nx, ny, nz, menc)
+
+    def body2(c):
+        """Dual pop: two stack entries per while_loop trip. The two nodes'
+        row fetches, slab tests and packed reductions are independent, so
+        Mosaic can overlap their latencies — amortizing the per-iteration
+        overhead floor across two visits. When only one entry remains, the
+        second slot re-reads slot 0 with an all-false mask (no leaf work, no
+        pushes — only the redundant box math). Traversal order is pairwise
+        rather than strictly depth-first; t-pruning still applies (the first
+        node's leaf hits tighten t_best before the second node's box tests)."""
+        sp, t_best, tri_best, nx, ny, nz, menc = c
+        node_a = stack_ref[sp - 1]
+        have_b = sp >= 2
+        node_b = stack_ref[jnp.maximum(sp - 2, 0)]
+        sp = jnp.maximum(sp - 2, 0)
+        sp, t_best, tri_best, nx, ny, nz, menc = node_step(
+            node_a, None, sp, t_best, tri_best, nx, ny, nz, menc
+        )
+        return node_step(
+            node_b, have_b, sp, t_best, tri_best, nx, ny, nz, menc
+        )
+
     return jax.lax.while_loop(
-        cond, body, (jnp.int32(1), t0, tri0, nx0, ny0, nz0, me0)
+        cond, body2 if dual_pop else body,
+        (jnp.int32(1), t0, tri0, nx0, ny0, nz0, me0)
     )[1:]
 
 
@@ -394,7 +425,8 @@ def _make_closest_kernel_bvh2(leaf_k: int, with_t_init: bool = False):
 def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
                      min_visibility, t_eps,
                      ox, oy, oz, dx, dy, dz, maxd, act,
-                     dense_leaves: bool = False, vis_init=None):
+                     dense_leaves: bool = False, vis_init=None,
+                     dual_pop: bool = False):
     """In-kernel ordered-stack transmission walk (shared by the BVH2 shadow
     kernel and the sample megakernel). Returns the (tile-shaped) visibility:
     product of surface transparencies within (t_eps, maxd), 0 past an opaque
@@ -423,12 +455,11 @@ def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
     def cond(c):
         return c[0] > 0
 
-    def body(c):
-        sp, vis = c
-        sp = sp - 1
-        node = stack_ref[sp]
+    def node_step(node, valid, sp, vis):
         row = inner_ref[pl.ds(node, 1), :]
         live = act & (vis > min_visibility)
+        if valid is not None:
+            live = live & valid
         tminl, boxl = _slab(ox, oy, oz, ix, iy, iz,
                             row[0, 0], row[0, 1], row[0, 2],
                             row[0, 3], row[0, 4], row[0, 5])
@@ -482,7 +513,25 @@ def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
         sp = jnp.where(dead, 0, sp)
         return sp, vis
 
-    return jax.lax.while_loop(cond, body, (jnp.int32(1), vis0))[1]
+    def body(c):
+        sp, vis = c
+        sp = sp - 1
+        node = stack_ref[sp]
+        return node_step(node, None, sp, vis)
+
+    def body2(c):
+        # two pops per trip — see bvh2_walk_closest.body2
+        sp, vis = c
+        node_a = stack_ref[sp - 1]
+        have_b = sp >= 2
+        node_b = stack_ref[jnp.maximum(sp - 2, 0)]
+        sp = jnp.maximum(sp - 2, 0)
+        sp, vis = node_step(node_a, None, sp, vis)
+        return node_step(node_b, have_b, sp, vis)
+
+    return jax.lax.while_loop(
+        cond, body2 if dual_pop else body, (jnp.int32(1), vis0)
+    )[1]
 
 
 def _make_shadow_kernel_bvh2(leaf_k: int, min_visibility: float, t_eps: float):

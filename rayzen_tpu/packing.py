@@ -140,8 +140,9 @@ class SceneArrays:
         recomputed host-side (cheap, I×4×4), geometry/BVH untouched."""
         transforms = np.asarray(transforms, dtype=np.float32)
         inv = np.linalg.inv(transforms.astype(np.float64)).astype(np.float32)
+        t_dev, i_dev = jax.device_put((transforms, inv))  # one transfer
         return dataclasses.replace(
-            self, transforms=jnp.asarray(transforms), inv_transforms=jnp.asarray(inv)
+            self, transforms=t_dev, inv_transforms=i_dev
         )
 
 
@@ -206,6 +207,16 @@ def _mesh_blas(mesh, cfg: RenderConfig) -> BLAS:
 
 
 def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
+    """Pack and ship to the device (one batched transfer)."""
+    return jax.device_put(pack_scene_host(scene, cfg))
+
+
+def pack_scene_host(
+    scene: Scene, cfg: RenderConfig | None = None
+) -> SceneArrays:
+    """Pack entirely host-side: the returned SceneArrays has numpy leaves
+    (still a valid pytree — jit/device_put treat it like any other), so disk
+    caches can persist it without a device readback."""
     cfg = cfg or RenderConfig()
     unique_meshes = []
     mesh_slot = {}
@@ -304,44 +315,50 @@ def pack_scene(scene: Scene, cfg: RenderConfig | None = None) -> SceneArrays:
         f"{node_meta.shape[0]} BVH nodes, {uni['uni_meta'].shape[0]} unified nodes"
     )
 
+    # Host-side (numpy-leaved) SceneArrays: callers that persist the pack
+    # (cached_pack_scene) save these directly; pack_scene ships them to the
+    # device in ONE batched device_put. One transfer matters on tunneled
+    # transports where every dispatch carries fixed staging cost — 35
+    # individual jnp.asarray calls here measured 155 s of Renderer startup
+    # on the tunneled v5e vs ~1 s batched.
     return SceneArrays(
-        uni_meta=jnp.asarray(uni["uni_meta"]),
-        blas_src=jnp.asarray(uni["blas_src"]),
-        blas_inst=jnp.asarray(uni["blas_inst"]),
-        tlas_mask=jnp.asarray(uni["tlas_mask"]),
-        wtri_src=jnp.asarray(uni["wtri_src"]),
-        wtri_inst=jnp.asarray(uni["wtri_inst"]),
-        node_leaf_tri=jnp.asarray(uni["node_leaf_tri"]),
-        bvh2_child_node=jnp.asarray(uni["bvh2_child_node"]),
-        bvh2_child_ref=jnp.asarray(uni["bvh2_child_ref"]),
-        bvh2_child_count=jnp.asarray(uni["bvh2_child_count"]),
-        bvh2_leaf_node=jnp.asarray(uni["bvh2_leaf_node"]),
-        bvh8_child_node=jnp.asarray(uni["bvh8_child_node"]),
-        bvh8_child_ref=jnp.asarray(uni["bvh8_child_ref"]),
-        bvh8_child_count=jnp.asarray(uni["bvh8_child_count"]),
-        bvh8_leaf_start=jnp.asarray(uni["bvh8_leaf_start"]),
-        bvh8_leaf_n=jnp.asarray(uni["bvh8_leaf_n"]),
-        bvh8_leaf_perm=jnp.asarray(uni["bvh8_leaf_perm"]),
-        top_child_node=jnp.asarray(uni["top_child_node"]),
-        top_child_ref=jnp.asarray(uni["top_child_ref"]),
-        top_child_count=jnp.asarray(uni["top_child_count"]),
-        tre_child_node=jnp.asarray(uni["tre_child_node"]),
-        tre_child_ref=jnp.asarray(uni["tre_child_ref"]),
-        tre_child_count=jnp.asarray(uni["tre_child_count"]),
-        tre_leaf_src=jnp.asarray(uni["tre_leaf_src"]),
-        tri_v0=jnp.asarray(tri_v0),
-        tri_e1=jnp.asarray(tri_e1),
-        tri_e2=jnp.asarray(tri_e2),
-        tri_mat=jnp.asarray(tri_mat),
-        node_bounds=jnp.asarray(node_bounds),
-        node_meta=jnp.asarray(node_meta),
-        transforms=jnp.asarray(transforms),
-        inv_transforms=jnp.asarray(inv_transforms),
-        root_bmin=jnp.asarray(root_bmin),
-        root_bmax=jnp.asarray(root_bmax),
-        inst_mat_override=jnp.asarray(mat_override),
-        materials=jnp.asarray(pack_materials(scene.materials)),
-        lights=jnp.asarray(pack_lights(scene.lights)),
+        uni_meta=uni["uni_meta"],
+        blas_src=uni["blas_src"],
+        blas_inst=uni["blas_inst"],
+        tlas_mask=uni["tlas_mask"],
+        wtri_src=uni["wtri_src"],
+        wtri_inst=uni["wtri_inst"],
+        node_leaf_tri=uni["node_leaf_tri"],
+        bvh2_child_node=uni["bvh2_child_node"],
+        bvh2_child_ref=uni["bvh2_child_ref"],
+        bvh2_child_count=uni["bvh2_child_count"],
+        bvh2_leaf_node=uni["bvh2_leaf_node"],
+        bvh8_child_node=uni["bvh8_child_node"],
+        bvh8_child_ref=uni["bvh8_child_ref"],
+        bvh8_child_count=uni["bvh8_child_count"],
+        bvh8_leaf_start=uni["bvh8_leaf_start"],
+        bvh8_leaf_n=uni["bvh8_leaf_n"],
+        bvh8_leaf_perm=uni["bvh8_leaf_perm"],
+        top_child_node=uni["top_child_node"],
+        top_child_ref=uni["top_child_ref"],
+        top_child_count=uni["top_child_count"],
+        tre_child_node=uni["tre_child_node"],
+        tre_child_ref=uni["tre_child_ref"],
+        tre_child_count=uni["tre_child_count"],
+        tre_leaf_src=uni["tre_leaf_src"],
+        tri_v0=tri_v0,
+        tri_e1=tri_e1,
+        tri_e2=tri_e2,
+        tri_mat=tri_mat,
+        node_bounds=node_bounds,
+        node_meta=node_meta,
+        transforms=transforms,
+        inv_transforms=inv_transforms,
+        root_bmin=root_bmin,
+        root_bmax=root_bmax,
+        inst_mat_override=mat_override,
+        materials=pack_materials(scene.materials),
+        lights=pack_lights(scene.lights),
         instance_meta=tuple(instance_meta),
     )
 

@@ -22,17 +22,24 @@ variants = sys.argv[1:] or ["pallas", "pallas-nomega"]
 scene = build_demo_scene(W, H)
 cam = {k: jnp.asarray(v) for k, v in scene.camera.device_params().items()}
 
+_packs = {}
 
-def best_time(fn, *args, reps=5):
+
+def pack_cached(scene_, cfg):
+    # pack output depends only on these cfg fields — reuse across specs/spp
+    key = (cfg.leaf_size, cfg.split_method, cfg.tiered, cfg.treelet_rows)
+    if key not in _packs:
+        from rayzen_tpu.packing import pack_scene
+
+        _packs[key] = pack_scene(scene_, cfg)
+    return _packs[key]
+
+
+def timed(fn, *args):
+    t0 = time.perf_counter()
     out = fn(*args)
     jax.tree_util.tree_map(lambda a: np.asarray(a), out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.tree_util.tree_map(lambda a: np.asarray(a), out)
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+    return time.perf_counter() - t0, out
 
 
 for spec in variants:
@@ -42,7 +49,10 @@ for spec in variants:
     oct_walks = "+oct" in base
     wide = "+w8" in base
     dense = "+dl" in base
-    base = base.replace("+oct", "").replace("+w8", "").replace("+dl", "")
+    dual = "+p2" in base
+    rebin = "+rebin" in base
+    base = (base.replace("+oct", "").replace("+w8", "").replace("+rebin", "")
+            .replace("+dl", "").replace("+p2", ""))
     fuse = 1
     if "+f" in base:
         pre, _, fv = base.partition("+f")
@@ -61,23 +71,42 @@ for spec in variants:
         leaf = int(lv)
     kern, _, mb = base.partition(":")
     mb = int(mb) if mb else 5
-    from rayzen_tpu.packing import pack_scene
 
-    # marginal per-sample cost: (t(spp_hi) - t(spp_lo)) / (hi - lo) inside one
-    # jit cancels the fixed per-dispatch transport staging AND its noise
-    lo, hi = (4, 16) if fuse <= 4 else (fuse, fuse * 4)
-    times = {}
+    # marginal per-sample cost: (t(spp_hi) - t(spp_lo)) / (hi - lo) cancels
+    # the fixed per-dispatch transport staging. Blocks of PIPE dispatches stay
+    # in flight (bench.py methodology) so staging overlaps compute; lo/hi
+    # blocks are INTERLEAVED so shared-chip drift brackets both sides, and
+    # each side takes its own min (contention only ever ADDS time, so the min
+    # is the uncontended envelope — never difference single noisy pairs).
+    lo, hi = (16, 64) if fuse <= 16 else (fuse, fuse * 4)
+    PIPE, REPS = 3, 4
+    fns = {}
     rays_per_sample = 0
     for spp in (lo, hi):
         cfg = RenderConfig(width=W, height=H, spp=spp, max_bounces=mb,
                            kernels=kern, octant_bounce_walks=oct_walks,
                            wide_nodes=wide, dense_leaves=dense,
-                           leaf_size=leaf, rng=rng, sample_fuse=fuse)
-        arrays = pack_scene(scene, cfg)
+                           leaf_size=leaf, rng=rng, sample_fuse=fuse,
+                           dual_pop=dual, bounce_rebin=rebin)
+        arrays = pack_cached(scene, cfg)
         fn = jax.jit(lambda a, c, cfg=cfg: render_radiance_with_stats(a, c, cfg))
-        times[spp], (_, rays) = best_time(fn, arrays, cam)
+        _, (_, rays) = timed(fn, arrays, cam)  # compile + warm
+        fns[spp] = (fn, arrays, cam)
         rays_per_sample = int(rays) / spp
-    ms = (times[hi] - times[lo]) / (hi - lo) * 1e3
+
+    def block(spp):  # PIPE dispatches in flight, wall per dispatch
+        fn, arrays, c = fns[spp]
+        t0 = time.perf_counter()
+        outs = [fn(arrays, c) for _ in range(PIPE)]
+        for o in outs:
+            jax.tree_util.tree_map(lambda a: np.asarray(a), o)
+        return (time.perf_counter() - t0) / PIPE
+
+    t_lo, t_hi = [], []
+    for _ in range(REPS):
+        t_lo.append(block(lo))
+        t_hi.append(block(hi))
+    ms = (min(t_hi) - min(t_lo)) / (hi - lo) * 1e3
     mrays = rays_per_sample / ms / 1e3
     print(f"{spec:20s} {ms:7.1f} ms/sample  {mrays:6.1f} Mrays/s "
           f"(marginal, {rays_per_sample/1e6:.2f} Mrays/sample)")

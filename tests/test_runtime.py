@@ -77,6 +77,38 @@ class TestRenderer:
         # accumulation converges: successive frames get closer
         assert np.abs(a2 - a1).mean() < 0.2
 
+    def test_progressive_variance_decays(self, tiny_cfg):
+        """BASELINE config 4 in miniature (scripts/progressive_1024.py runs
+        the full 1024-spp version on device): the progressive average's MSE
+        against an independent high-spp target must decay ~1/n — monotone
+        across checkpoint frames with a real margin, not just wiggle."""
+        cfg = tiny_cfg.replace(accumulate=True, spp=4, max_bounces=3)
+        scene = build_small_scene(cfg.width, cfg.height)
+        r = Renderer(scene, cfg, async_compile=False, use_cache=False)
+        # independent target: same scene at higher spp on a disjoint key
+        # stream (rng_key offsets the sample index far past the accum frames)
+        tgt_cfg = cfg.replace(accumulate=False, spp=32)
+        from rayzen_tpu.integrator import render_radiance
+
+        import jax
+        import jax.numpy as jnp
+
+        target = np.asarray(
+            jax.jit(
+                lambda a, c: render_radiance(a, c, tgt_cfg, rng_key=99)
+            )(r.arrays, r._camera_params())
+        ).reshape(cfg.height, cfg.width, 3)
+        errs = []
+        for _ in range(8):
+            img = r.render_frame(mode="pt")
+            # L1, not MSE: Monte-Carlo error is heavy-tailed (mirror/RR
+            # fireflies), so per-realization MSE is not monotone — a single
+            # bright sample in a late frame can raise it. Mean |error| is
+            # robust to that while still decaying with sample count.
+            errs.append(float(np.mean(np.abs(img - target))))
+        assert errs[3] < errs[0] / 1.2, errs
+        assert errs[7] < errs[0] / 1.5, errs
+
 
 class TestCache:
     def test_roundtrip(self, tiny_cfg):
