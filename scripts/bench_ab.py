@@ -67,8 +67,12 @@ for spec in variants:
         rng = "threefry"
     leaf = 8
     if "+l" in base:
-        base, _, lv = base.partition("+l")
-        leaf = int(lv)
+        pre, _, lv = base.partition("+l")
+        digits = ""
+        while lv and lv[0].isdigit():
+            digits, lv = digits + lv[0], lv[1:]
+        leaf = int(digits)
+        base = pre + lv
     kern, _, mb = base.partition(":")
     mb = int(mb) if mb else 5
 
