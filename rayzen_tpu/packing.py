@@ -146,7 +146,15 @@ class SceneArrays:
         )
 
 
-SINGLE_TREE_VMEM_BUDGET = int(3.5 * 1024 * 1024)  # bytes of traversal tables
+# Raw traversal-table bytes one tree may keep VMEM-resident before the pack
+# switches to the tiered (HBM-streamed) view and the Renderer to chunked
+# trees. The megakernel's Mosaic scoped-VMEM limit is raised to 100 MB
+# (ops/megakernel.py), and the working set measures ~3.5-4x raw table bytes,
+# so the envelope is ~24 MB; the default keeps the round-2 value pending the
+# probe sweep (scripts/probe_single_tree.py). Override: RAYZEN_TREE_BUDGET_MB.
+SINGLE_TREE_VMEM_BUDGET = int(
+    float(os.environ.get("RAYZEN_TREE_BUDGET_MB", "3.5")) * 1024 * 1024
+)
 
 
 def single_tree_table_bytes(n_inner: int, n_leaf_rows: int, leaf_size: int) -> int:

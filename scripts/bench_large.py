@@ -106,11 +106,17 @@ else:
     cfg = apply_variant(cfg)
     arrays_in = pack_scene(scene, cfg)  # tiered view auto-built at this size
     fn = jax.jit(lambda a, c: render_radiance_with_stats(a, c, cfg))
-    detail = (
-        f"tiered: {arrays_in.tre_child_node.shape[0]} treelets x "
-        f"{arrays_in.tre_child_node.shape[1]} rows, "
-        f"top {arrays_in.top_child_node.shape[0]} rows"
-    )
+    if int(arrays_in.tre_child_node.shape[1]) > 1:
+        detail = (
+            f"tiered: {arrays_in.tre_child_node.shape[0]} treelets x "
+            f"{arrays_in.tre_child_node.shape[1]} rows, "
+            f"top {arrays_in.top_child_node.shape[0]} rows"
+        )
+    else:  # RAYZEN_TREE_BUDGET_MB raised past the table size -> single tree
+        detail = (
+            f"single tree: {arrays_in.bvh2_child_node.shape[0]} inner rows "
+            "VMEM-resident"
+        )
 
 # ---- correctness gate (round-2 verdict weak #2): the benched path must
 # reproduce the portable XLA walk's image at reduced size before any number

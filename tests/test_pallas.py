@@ -131,6 +131,21 @@ class TestSampleMegakernel:
         )
         assert np.abs(base - rebin).max() < 1e-6
 
+    def test_dual_pop_is_bit_identical(self, small_arrays, small_camera):
+        """dual_pop pops two stack entries per while_loop trip; traversal
+        order changes (pairwise instead of strictly depth-first) but the
+        closest hit and shadow visibility are order-independent, so the
+        image must be bit-identical."""
+        cfg = RenderConfig(width=48, height=32, spp=2, max_bounces=5,
+                           kernels="pallas")
+        base = np.asarray(render_radiance(small_arrays, small_camera, cfg))
+        dual = np.asarray(
+            render_radiance(
+                small_arrays, small_camera, cfg.replace(dual_pop=True)
+            )
+        )
+        assert np.abs(base - dual).max() == 0.0
+
     def test_wide_nodes_match(self, small_arrays, small_camera):
         """BVH8 wide-node walks (pack-time collapse + 8-child consensus) give
         the same image as the BVH2 walks."""
