@@ -34,11 +34,15 @@ from .config import RenderConfig
 from .mesh import Mesh
 from .scene import GameObject, Scene
 
-# Per-chunk world-triangle budget. Empirically (v5e OOM dumps) Mosaic's scoped
-# VMEM working set runs ~3.5-4x the raw table bytes (operand buffering), so
-# with 16 MB of VMEM a chunk's inner+leaf tables must stay under ~4 MB —
-# about 45k triangles at leaf_size 4.
-DEFAULT_CHUNK_TRIS = 45_000
+# Per-chunk world-triangle budget, derived from the single-tree VMEM table
+# budget (packing.SINGLE_TREE_VMEM_BUDGET, overridable via
+# RAYZEN_TREE_BUDGET_MB): table bytes measure ~74-80 B per world triangle
+# (probe sweep, scripts/probe_single_tree.py), so chunks track whatever
+# budget the Mosaic scoped-VMEM limit supports. At the conservative 3.5 MB
+# default this reproduces the round-2 value (~45k tris).
+from .packing import SINGLE_TREE_VMEM_BUDGET
+
+DEFAULT_CHUNK_TRIS = SINGLE_TREE_VMEM_BUDGET // 80
 
 
 def _morton3(cent: np.ndarray) -> np.ndarray:

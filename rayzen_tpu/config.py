@@ -93,6 +93,14 @@ class RenderConfig:
     # divisor of the per-dispatch sample count <= this value; 1 disables.
     sample_fuse: int = 1
 
+    # Megakernel bounce 0 (primary rays + the direct-lighting shadow fan)
+    # through the frustum-interval walks: internal nodes tested with pure
+    # scalar interval math instead of per-ray vector slabs + reductions.
+    # Exact same hits (leaves still run per-ray Moller-Trumbore); only the
+    # traversal pruning is conservative. Geometry-dense scenes (every screen
+    # tile covered) gain the most. BVH2 single-tree scenes only.
+    frustum_primary: bool = False
+
     # BVH2 walks pop TWO stack entries per while_loop trip: the two nodes'
     # row fetches, slab tests and packed consensus reductions are independent
     # so Mosaic overlaps their latencies, amortizing the per-iteration

@@ -250,7 +250,12 @@ def trace_wave(
             + 2 * (direction[:, 1] > 0).astype(jnp.int32)
             + 4 * (direction[:, 2] > 0).astype(jnp.int32)
         )
-        key = ((cell[:, 0] * 8 + cell[:, 1]) * 8 + cell[:, 2]) * 8 + octant
+        # octant-MAJOR: bounce-wave packet unions are driven by direction
+        # spread (ordered front-to-back traversal only works for rays that
+        # agree on near/far), so group by direction octant first, spatial
+        # cell second. The original origin-major key measured as a no-op on
+        # the 503k field — origins were already tile-local.
+        key = octant * 512 + (cell[:, 0] * 8 + cell[:, 1]) * 8 + cell[:, 2]
         key = jnp.where(alive, key, jnp.int32(1 << 30))  # dead to the back
         order = jnp.argsort(key)
         inv = jnp.zeros((n,), jnp.int32).at[order].set(

@@ -42,6 +42,7 @@ from .pallas_traverse import (
     bvh2_walk_shadow,
     bvh8_walk_closest,
     bvh8_walk_shadow,
+    frustum_walk_closest,
     tiered_walk_closest,
     tiered_walk_shadow,
 )
@@ -500,6 +501,17 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
             bvh2_walk_shadow, dense_leaves=cfg.dense_leaves,
             dual_pop=cfg.dual_pop,
         )
+    # Frustum-interval walks for the COHERENT bounce-0 waves (primary rays +
+    # the direct-lighting shadow fan): internal-node tests become pure scalar
+    # interval math, so geometry-dense scenes stop paying per-node vector
+    # slabs + reductions for rays that share a screen tile. Incoherent bounce
+    # waves keep the consensus walks (a bounce packet's frustum degenerates
+    # to everything). BVH2 tables only (frustum reads the same rows).
+    frustum = (
+        cfg.frustum_primary and not cfg.wide_nodes and not tiered
+        and fuse == 1  # fused packets stack tiles; frustum bound still valid
+        # but unmeasured — keep the knob orthogonal
+    )
     min_vis, shadow_eps = cfg.shadow_min_visibility, 1e-3
 
     def kernel(samp_ref, key_ref, *refs):
@@ -526,6 +538,8 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
                     dense_leaves=cfg.dense_leaves,
                 )
 
+            primary_fn, shadow0_fn = closest_fn, shadow_fn
+
         else:
             (inner_ref, leaf_ref, mat_ref, light_ref, cam_ref,
              u_ref, v_ref, act_ref,
@@ -541,6 +555,20 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
                     inner_ref, leaf_ref, stack_ref, leaf_k, min_vis,
                     shadow_eps, *rays_md_act
                 )
+
+            if frustum:
+                # primary CLOSEST only: a tile's shadow fan to a nearby
+                # point light has diverging directions, so its interval
+                # reciprocal spans zero and the frustum degenerates to
+                # everything — shadows stay on the consensus walk
+                def primary_fn(*rays_act):
+                    return frustum_walk_closest(
+                        inner_ref, leaf_ref, stack_ref, leaf_k, *rays_act
+                    )
+
+            else:
+                primary_fn = closest_fn
+            shadow0_fn = shadow_fn
 
         u0, v0 = u_ref[:], v_ref[:]
         act0 = act_ref[:]
@@ -595,7 +623,7 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
         # ---- bounce 0 (peeled: the only bounce with direct lighting) ----
             ox, oy, oz, dx, dy, dz = _raygen_tiles(u, v, jx, jy, cam_ref)
             rays = act + jnp.zeros_like(u)
-            t, _tri, cnx, cny, cnz, menc = closest_fn(
+            t, _tri, cnx, cny, cnz, menc = primary_fn(
                 ox, oy, oz, dx, dy, dz, act > 0.5
             )
             found = menc != 0.0
@@ -619,7 +647,7 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
                 cam_ref[8, 0] - px, cam_ref[8, 1] - py, cam_ref[8, 2] - pz, 1e-20
             )
             dr, dgg, db, lrays = _direct_lighting_tiles(
-                shadow_fn, light_ref, n_lights,
+                shadow0_fn, light_ref, n_lights,
                 min_vis, cfg.ambient,
                 px, py, pz, nx, ny, nz, vx, vy, vz, alive,
                 ar, ag, ab, metal, rough, transp, mat_ior,

@@ -956,98 +956,108 @@ def _frustum_box_test(g, col0, o_ivals, i_ivals, t_bound):
     return possible, entry_lo
 
 
+def frustum_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
+                         ox, oy, oz, dx, dy, dz, act):
+    """Frustum-interval packet closest-hit walk (shared by the standalone
+    frustum kernel and the megakernel's peeled bounce 0): internal nodes are
+    tested with pure SCALAR interval arithmetic against the packet's
+    conservative frustum — no vector ops, no cross-lane reductions, no
+    lax.cond on the internal-node path. Per-ray work happens only at leaves:
+    Möller–Trumbore needs no per-ray box mask for correctness. Occlusion
+    pruning uses a scalar packet bound max_r(t_best) refreshed after each
+    leaf. Only correct for COHERENT waves (shared-origin-region rays):
+    incoherent packets degenerate to an everything-frustum and visit the
+    whole tree. Returns (t_best, tri_best, nx, ny, nz, menc) like
+    bvh2_walk_closest."""
+    o_ivals, i_ivals = _packet_frustum(ox, oy, oz, dx, dy, dz)
+    t0v = jnp.full(ox.shape, T_FAR, jnp.float32)
+    tri0 = jnp.full(ox.shape, -1, jnp.int32)
+    z0 = jnp.zeros(ox.shape, jnp.float32)
+    stack_ref[0] = jnp.int32(0)
+
+    def leaf_proc(leaf_idx, t_best, tri_best, nx, ny, nz, menc):
+        lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
+        first = lrow[0, 10 * leaf_k].astype(jnp.int32)
+        count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
+        for k in range(leaf_k):
+            tri = [lrow[0, 9 * k + c] for c in range(9)]
+            t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+            better = act & h & (t < t_best) & (count > k)
+            t_best = jnp.where(better, t, t_best)
+            tri_best = jnp.where(better, first + k, tri_best)
+            nx, ny, nz, menc = _update_attrs(
+                better, tri, lrow[0, 10 * leaf_k + 2 + k], nx, ny, nz, menc
+            )
+        return t_best, tri_best, nx, ny, nz, menc
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, t_max, t_best, tri_best, nx, ny, nz, menc = c
+        sp = sp - 1
+        node = stack_ref[sp]
+        row = inner_ref[pl.ds(node, 1), :]
+        g = lambda c_: row[0, c_]
+        ok_l, tl = _frustum_box_test(g, 0, o_ivals, i_ivals, t_max)
+        ok_r, tr = _frustum_box_test(g, 6, o_ivals, i_ivals, t_max)
+        lref = g(12).astype(jnp.int32)
+        rref = g(13).astype(jnp.int32)
+        l_leaf = g(14) >= 0.0
+        r_leaf = g(15) >= 0.0
+
+        hit_leaf_l = ok_l & l_leaf
+        hit_leaf_r = ok_r & r_leaf
+        any_leaf = hit_leaf_l | hit_leaf_r
+
+        def leaves(tt):
+            t_best, tri_best, nx, ny, nz, menc, _ = tt
+            t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
+                hit_leaf_l, lambda uu: leaf_proc(lref, *uu),
+                lambda uu: uu, (t_best, tri_best, nx, ny, nz, menc),
+            )
+            t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
+                hit_leaf_r, lambda uu: leaf_proc(rref, *uu),
+                lambda uu: uu, (t_best, tri_best, nx, ny, nz, menc),
+            )
+            # refresh the scalar occlusion bound inside the leaf branch
+            # only — a reduction every iteration would dominate the
+            # otherwise scalar-only internal-node path
+            return t_best, tri_best, nx, ny, nz, menc, jnp.max(t_best)
+
+        t_best, tri_best, nx, ny, nz, menc, t_max = jax.lax.cond(
+            any_leaf, leaves, lambda tt: tt,
+            (t_best, tri_best, nx, ny, nz, menc, t_max),
+        )
+
+        push_l = ok_l & jnp.logical_not(l_leaf)
+        push_r = ok_r & jnp.logical_not(r_leaf)
+        both = push_l & push_r
+        near_left = tl <= tr  # scalar entry ordering — free
+        far = jnp.where(near_left, rref, lref)
+        near = jnp.where(near_left, lref, rref)
+        v0 = jnp.where(both, far, jnp.where(push_l, lref, rref))
+        stack_ref[sp] = v0
+        stack_ref[sp + 1] = near
+        sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
+        return sp, t_max, t_best, tri_best, nx, ny, nz, menc
+
+    return jax.lax.while_loop(
+        cond, body, (jnp.int32(1), jnp.float32(T_FAR), t0v, tri0, z0, z0, z0, z0)
+    )[2:]
+
+
 def _make_closest_kernel_frustum(leaf_k: int, with_t_init: bool = False):
-    """Frustum-interval packet traversal: internal nodes are tested with pure
-    SCALAR interval arithmetic against the packet's conservative frustum — no
-    vector ops, no cross-lane reductions, no lax.cond on the internal-node
-    path (the expensive primitives on TPU: a reduction costs ~1.4 us, a cond
-    ~2 us, vs ~0.1 us for the whole scalar box test). Per-ray work happens
-    only at leaves: Möller–Trumbore needs no per-ray box mask for correctness.
-    Occlusion pruning uses a scalar packet bound max_r(t_best) refreshed after
-    each leaf."""
+    """Frustum-interval packet traversal — see frustum_walk_closest."""
     assert not with_t_init  # t-seeded walks are a BVH2-kernel feature
 
     def kernel(inner_ref, leaf_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                dz_ref, act_ref, t_ref, tri_ref, nx_ref, ny_ref, nz_ref, me_ref,
                stack_ref):
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        act = act_ref[:] > 0.5
-        o_ivals, i_ivals = _packet_frustum(ox, oy, oz, dx, dy, dz)
-        t0v = jnp.full(ox.shape, T_FAR, jnp.float32)
-        tri0 = jnp.full(ox.shape, -1, jnp.int32)
-        z0 = jnp.zeros(ox.shape, jnp.float32)
-        stack_ref[0] = jnp.int32(0)
-
-        def leaf_proc(leaf_idx, t_best, tri_best, nx, ny, nz, menc):
-            lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
-            first = lrow[0, 10 * leaf_k].astype(jnp.int32)
-            count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
-            for k in range(leaf_k):
-                tri = [lrow[0, 9 * k + c] for c in range(9)]
-                t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
-                better = act & h & (t < t_best) & (count > k)
-                t_best = jnp.where(better, t, t_best)
-                tri_best = jnp.where(better, first + k, tri_best)
-                nx, ny, nz, menc = _update_attrs(
-                    better, tri, lrow[0, 10 * leaf_k + 2 + k], nx, ny, nz, menc
-                )
-            return t_best, tri_best, nx, ny, nz, menc
-
-        def cond(c):
-            return c[0] > 0
-
-        def body(c):
-            sp, t_max, t_best, tri_best, nx, ny, nz, menc = c
-            sp = sp - 1
-            node = stack_ref[sp]
-            row = inner_ref[pl.ds(node, 1), :]
-            g = lambda c_: row[0, c_]
-            ok_l, tl = _frustum_box_test(g, 0, o_ivals, i_ivals, t_max)
-            ok_r, tr = _frustum_box_test(g, 6, o_ivals, i_ivals, t_max)
-            lref = g(12).astype(jnp.int32)
-            rref = g(13).astype(jnp.int32)
-            l_leaf = g(14) >= 0.0
-            r_leaf = g(15) >= 0.0
-
-            hit_leaf_l = ok_l & l_leaf
-            hit_leaf_r = ok_r & r_leaf
-            any_leaf = hit_leaf_l | hit_leaf_r
-
-            def leaves(tt):
-                t_best, tri_best, nx, ny, nz, menc, _ = tt
-                t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
-                    hit_leaf_l, lambda uu: leaf_proc(lref, *uu),
-                    lambda uu: uu, (t_best, tri_best, nx, ny, nz, menc),
-                )
-                t_best, tri_best, nx, ny, nz, menc = jax.lax.cond(
-                    hit_leaf_r, lambda uu: leaf_proc(rref, *uu),
-                    lambda uu: uu, (t_best, tri_best, nx, ny, nz, menc),
-                )
-                # refresh the scalar occlusion bound inside the leaf branch
-                # only — a reduction every iteration would dominate the
-                # otherwise scalar-only internal-node path
-                return t_best, tri_best, nx, ny, nz, menc, jnp.max(t_best)
-
-            t_best, tri_best, nx, ny, nz, menc, t_max = jax.lax.cond(
-                any_leaf, leaves, lambda tt: tt,
-                (t_best, tri_best, nx, ny, nz, menc, t_max),
-            )
-
-            push_l = ok_l & jnp.logical_not(l_leaf)
-            push_r = ok_r & jnp.logical_not(r_leaf)
-            both = push_l & push_r
-            near_left = tl <= tr  # scalar entry ordering — free
-            far = jnp.where(near_left, rref, lref)
-            near = jnp.where(near_left, lref, rref)
-            v0 = jnp.where(both, far, jnp.where(push_l, lref, rref))
-            stack_ref[sp] = v0
-            stack_ref[sp + 1] = near
-            sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
-            return sp, t_max, t_best, tri_best, nx, ny, nz, menc
-
-        _, _, t_best, tri_best, nx, ny, nz, menc = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), jnp.float32(T_FAR), t0v, tri0, z0, z0, z0, z0)
+        t_best, tri_best, nx, ny, nz, menc = frustum_walk_closest(
+            inner_ref, leaf_ref, stack_ref, leaf_k,
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:], act_ref[:] > 0.5,
         )
         t_ref[:] = t_best
         tri_ref[:] = tri_best
@@ -1059,80 +1069,91 @@ def _make_closest_kernel_frustum(leaf_k: int, with_t_init: bool = False):
     return kernel
 
 
+def frustum_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
+                        min_visibility, t_eps,
+                        ox, oy, oz, dx, dy, dz, maxd, act):
+    """Frustum-interval transmission walk (shared by the standalone frustum
+    shadow kernel and the megakernel's bounce-0 direct lighting): scalar
+    interval node tests, per-ray work at leaves only, consensus early exit
+    refreshed after leaf work. Coherent waves only — see
+    frustum_walk_closest. Returns the (tile-shaped) visibility."""
+    o_ivals, i_ivals = _packet_frustum(ox, oy, oz, dx, dy, dz)
+    maxd_hi = jnp.max(jnp.where(act, maxd, 0.0))
+    vis0 = jnp.ones(ox.shape, jnp.float32)
+    stack_ref[0] = jnp.int32(0)
+
+    def leaf_proc(leaf_idx, vis):
+        lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
+        count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
+        for k in range(leaf_k):
+            tri = [lrow[0, 9 * k + c] for c in range(9)]
+            t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
+            blocking = act & h & (t >= t_eps) & (t < maxd) & (count > k)
+            factor = lrow[0, 9 * leaf_k + k]
+            vis = jnp.where(blocking, vis * factor, vis)
+        return vis
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, live_bound, vis = c
+        sp = sp - 1
+        node = stack_ref[sp]
+        row = inner_ref[pl.ds(node, 1), :]
+        g = lambda c_: row[0, c_]
+        ok_l, _ = _frustum_box_test(g, 0, o_ivals, i_ivals, maxd_hi)
+        ok_r, _ = _frustum_box_test(g, 6, o_ivals, i_ivals, maxd_hi)
+        lref = g(12).astype(jnp.int32)
+        rref = g(13).astype(jnp.int32)
+        l_leaf = g(14) >= 0.0
+        r_leaf = g(15) >= 0.0
+        hit_leaf_l = ok_l & l_leaf
+        hit_leaf_r = ok_r & r_leaf
+        any_leaf = hit_leaf_l | hit_leaf_r
+
+        def leaves(vv):
+            vv = jax.lax.cond(
+                hit_leaf_l, lambda u: leaf_proc(lref, u), lambda u: u, vv
+            )
+            vv = jax.lax.cond(
+                hit_leaf_r, lambda u: leaf_proc(rref, u), lambda u: u, vv
+            )
+            return vv
+
+        vis = jax.lax.cond(any_leaf, leaves, lambda vv: vv, vis)
+        # consensus early exit, refreshed only after leaf work
+        alive = jnp.where(
+            any_leaf,
+            jnp.max(jnp.where(act, vis, 0.0)),
+            live_bound,
+        )
+        dead = alive <= min_visibility
+
+        push_l = ok_l & jnp.logical_not(l_leaf) & jnp.logical_not(dead)
+        push_r = ok_r & jnp.logical_not(r_leaf) & jnp.logical_not(dead)
+        both = push_l & push_r
+        v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
+        stack_ref[sp] = v0
+        stack_ref[sp + 1] = lref
+        sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
+        sp = jnp.where(dead, 0, sp)
+        return sp, alive, vis
+
+    return jax.lax.while_loop(
+        cond, body, (jnp.int32(1), jnp.float32(1.0), vis0)
+    )[2]
+
+
 def _make_shadow_kernel_frustum(leaf_k: int, min_visibility: float, t_eps: float):
     def kernel(inner_ref, leaf_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                dz_ref, md_ref, act_ref, vis_ref, stack_ref):
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        maxd = md_ref[:]
-        act = act_ref[:] > 0.5
-        o_ivals, i_ivals = _packet_frustum(ox, oy, oz, dx, dy, dz)
-        maxd_hi = jnp.max(jnp.where(act, maxd, 0.0))
-        vis0 = jnp.ones(ox.shape, jnp.float32)
-        stack_ref[0] = jnp.int32(0)
-
-        def leaf_proc(leaf_idx, vis):
-            lrow = leaf_ref[pl.ds(leaf_idx, 1), :]
-            count = lrow[0, 10 * leaf_k + 1].astype(jnp.int32)
-            for k in range(leaf_k):
-                tri = [lrow[0, 9 * k + c] for c in range(9)]
-                t, h = _mt_broadcast(ox, oy, oz, dx, dy, dz, tri)
-                blocking = act & h & (t >= t_eps) & (t < maxd) & (count > k)
-                factor = lrow[0, 9 * leaf_k + k]
-                vis = jnp.where(blocking, vis * factor, vis)
-            return vis
-
-        def cond(c):
-            return c[0] > 0
-
-        def body(c):
-            sp, live_bound, vis = c
-            sp = sp - 1
-            node = stack_ref[sp]
-            row = inner_ref[pl.ds(node, 1), :]
-            g = lambda c_: row[0, c_]
-            ok_l, _ = _frustum_box_test(g, 0, o_ivals, i_ivals, maxd_hi)
-            ok_r, _ = _frustum_box_test(g, 6, o_ivals, i_ivals, maxd_hi)
-            lref = g(12).astype(jnp.int32)
-            rref = g(13).astype(jnp.int32)
-            l_leaf = g(14) >= 0.0
-            r_leaf = g(15) >= 0.0
-            hit_leaf_l = ok_l & l_leaf
-            hit_leaf_r = ok_r & r_leaf
-            any_leaf = hit_leaf_l | hit_leaf_r
-
-            def leaves(vv):
-                vv = jax.lax.cond(
-                    hit_leaf_l, lambda u: leaf_proc(lref, u), lambda u: u, vv
-                )
-                vv = jax.lax.cond(
-                    hit_leaf_r, lambda u: leaf_proc(rref, u), lambda u: u, vv
-                )
-                return vv
-
-            vis = jax.lax.cond(any_leaf, leaves, lambda vv: vv, vis)
-            # consensus early exit, refreshed only after leaf work
-            alive = jnp.where(
-                any_leaf,
-                jnp.max(jnp.where(act, vis, 0.0)),
-                live_bound,
-            )
-            dead = alive <= min_visibility
-
-            push_l = ok_l & jnp.logical_not(l_leaf) & jnp.logical_not(dead)
-            push_r = ok_r & jnp.logical_not(r_leaf) & jnp.logical_not(dead)
-            both = push_l & push_r
-            v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
-            stack_ref[sp] = v0
-            stack_ref[sp + 1] = lref
-            sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
-            sp = jnp.where(dead, 0, sp)
-            return sp, alive, vis
-
-        _, _, vis = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), jnp.float32(1.0), vis0)
+        vis_ref[:] = frustum_walk_shadow(
+            inner_ref, leaf_ref, stack_ref, leaf_k, min_visibility, t_eps,
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            md_ref[:], act_ref[:] > 0.5,
         )
-        vis_ref[:] = vis
 
     return kernel
 

@@ -51,8 +51,9 @@ for spec in variants:
     dense = "+dl" in base
     dual = "+p2" in base
     rebin = "+rebin" in base
+    frus = "+fr" in base
     base = (base.replace("+oct", "").replace("+w8", "").replace("+rebin", "")
-            .replace("+dl", "").replace("+p2", ""))
+            .replace("+dl", "").replace("+p2", "").replace("+fr", ""))
     fuse = 1
     if "+f" in base:
         pre, _, fv = base.partition("+f")
@@ -91,7 +92,8 @@ for spec in variants:
                            kernels=kern, octant_bounce_walks=oct_walks,
                            wide_nodes=wide, dense_leaves=dense,
                            leaf_size=leaf, rng=rng, sample_fuse=fuse,
-                           dual_pop=dual, bounce_rebin=rebin)
+                           dual_pop=dual, bounce_rebin=rebin,
+                           frustum_primary=frus)
         arrays = pack_cached(scene, cfg)
         fn = jax.jit(lambda a, c, cfg=cfg: render_radiance_with_stats(a, c, cfg))
         _, (_, rays) = timed(fn, arrays, cam)  # compile + warm

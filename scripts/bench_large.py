@@ -82,6 +82,8 @@ def apply_variant(cfg):
         cfg = cfg.replace(octant_bounce_walks=True)
     if "+rebin" in variant:
         cfg = cfg.replace(bounce_rebin=True)
+    if "+fr" in variant:
+        cfg = cfg.replace(frustum_primary=True)
     if "+f" in variant:
         fv = variant.partition("+f")[2].split("+")[0]
         if fv.isdigit():

@@ -54,6 +54,10 @@ VARIANTS = [
     ("octant-bounce", dict(octant_bounce_walks=True)),
     ("leaf4", dict(leaf_size=4)),
     ("staged-nomega", dict(kernels="pallas-nomega")),
+    ("dual-pop", dict(dual_pop=True)),
+    ("frustum-primary", dict(frustum_primary=True)),
+    ("sample-fuse2", dict(spp=2, sample_fuse=2)),
+    ("bounce-rebin", dict(kernels="pallas-nomega", bounce_rebin=True)),
 ]
 
 failures = []
