@@ -1252,6 +1252,9 @@ def _run_stack_closest(kernel_maker, ws, origin, direction, active, interpret,
         in_specs=in_specs,
         out_specs=(ray_spec,) * 6,
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        # raised scoped-VMEM limit (v5e: 128 MiB/core) so bigger
+        # VMEM-resident trees fit — same as the megakernel
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(ws.inner_table, ws.leaf_table, *operands)
     return _decode_hit(ws, origin, direction, n_rays, *outs)
@@ -1278,6 +1281,9 @@ def _run_stack_shadow(
         in_specs=in_specs,
         out_specs=ray_spec,
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        # raised scoped-VMEM limit (v5e: 128 MiB/core) so bigger
+        # VMEM-resident trees fit — same as the megakernel
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(ws.inner_table, ws.leaf_table, ox, oy, oz, dx, dy, dz, md, act)
     vis = vis.reshape(-1)[:n_rays]
@@ -1345,6 +1351,9 @@ def pallas_closest_hit(
         out_shape=_closest_out_shapes(rows),
         in_specs=in_specs,
         out_specs=(ray_spec,) * 6,
+        # raised scoped-VMEM limit (v5e: 128 MiB/core) so bigger
+        # VMEM-resident trees fit — same as the megakernel
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(ws.records, ox, oy, oz, dx, dy, dz, act)
     return _decode_hit(ws, origin, direction, n_rays, *outs)
@@ -1376,6 +1385,9 @@ def pallas_shadow_walk(
         out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
         in_specs=in_specs,
         out_specs=ray_spec,
+        # raised scoped-VMEM limit (v5e: 128 MiB/core) so bigger
+        # VMEM-resident trees fit — same as the megakernel
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(ws.records, ox, oy, oz, dx, dy, dz, md, act)
     vis = vis.reshape(-1)[:n_rays]

@@ -149,3 +149,37 @@ def blob(
     return Mesh.from_triangles(
         v.reshape(-1, 3, 3).astype(np.float32), material_index
     )
+
+
+def subdivide(mesh: Mesh, levels: int = 1, displace: float = 0.0) -> Mesh:
+    """4-to-1 midpoint subdivision of a triangle soup (each face splits at
+    its edge midpoints — shared edges get identical midpoints on both sides,
+    so watertight input stays watertight). Scales any asset to an arbitrary
+    triangle budget for large-scene benchmarks (the reference renders
+    whatever OBJ it is given, Mesh.cpp:6-50; this is the self-contained way
+    to produce one at millions of triangles). ``displace`` adds a smooth
+    sine-field offset along the face normal per level so the refined surface
+    is not perfectly coplanar with its parent (exercises the BVH rather than
+    stacking identical planes)."""
+    v = mesh.vertices.astype(np.float64)
+    mats = mesh.material_index
+    for lvl in range(levels):
+        a, b, c = v[:, 0], v[:, 1], v[:, 2]
+        ab, bc, ca = (a + b) / 2, (b + c) / 2, (c + a) / 2
+        if displace:
+            n = np.cross(b - a, c - a)
+            n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+            amp = displace / (4.0 ** lvl)
+            for m in (ab, bc, ca):
+                m += n * (amp * np.sin(m.sum(axis=1) * (3.0 + lvl)))[:, None]
+        v = np.concatenate(
+            [
+                np.stack([a, ab, ca], axis=1),
+                np.stack([ab, b, bc], axis=1),
+                np.stack([ca, bc, c], axis=1),
+                np.stack([ab, bc, ca], axis=1),
+            ],
+            axis=0,
+        )
+        mats = np.concatenate([mats] * 4, axis=0)
+    return Mesh(v.astype(np.float32), mats)

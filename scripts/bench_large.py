@@ -31,24 +31,55 @@ setup_compile_cache(".rayzen_cache/xla")
 N_INSTANCES = int(sys.argv[1]) if len(sys.argv) > 1 else 520  # x968 tris
 W, H, SPP = 1920, 1080, 4
 
+mode_argv = sys.argv[2] if len(sys.argv) > 2 else "tiered"
+variant_argv = sys.argv[4] if len(sys.argv) > 4 else ""
+
 monkey = Mesh.load_from_obj(os.path.join(ASSET_DIR, "monkey.obj"), 0)
-side = int(math.ceil(math.sqrt(N_INSTANCES)))
-objs = []
-for i in range(N_INSTANCES):
-    gx, gz = i % side, i // side
-    objs.append(
+if "+mesh" in variant_argv:
+    # Dense-SURFACE large scene: two midpoint-subdivided Suzannes (~248k
+    # tris each) instead of a 520-instance field. Same triangle budget,
+    # different coherence class: screen tiles see one smooth surface region,
+    # not dozens of far-apart instances — the shape real high-poly assets
+    # have. The field stays as the adversarial many-instance case.
+    from rayzen_tpu.procedural import subdivide
+
+    levels = max(1, round(math.log(max(N_INSTANCES, 16) / 968, 4)))
+    dense = subdivide(monkey, levels, displace=0.01)
+    objs = [
         GameObject(
-            mesh=monkey,
-            transform=translation(
-                (2.2 * (gx - side / 2), 0.0, -2.2 * gz)
-            ) @ rotation(math.radians((i * 37.0) % 360.0), (0.0, 1.0, 0.0)),
-            material_override=i % 3,
+            mesh=dense,
+            transform=translation((-1.25, 0.0, 0.0)),
+            material_override=0,
+        ),
+        GameObject(
+            mesh=dense,
+            transform=translation((1.25, 0.0, 0.0))
+            @ rotation(math.radians(25.0), (0.0, 1.0, 0.0)),
+            material_override=2,
+        ),
+    ]
+    cam_pos = np.array([0.0, 0.4, 3.4], np.float32)
+    cam_tgt = np.array([0.0, -0.08, -0.99], np.float32)
+else:
+    side = int(math.ceil(math.sqrt(N_INSTANCES)))
+    objs = []
+    for i in range(N_INSTANCES):
+        gx, gz = i % side, i // side
+        objs.append(
+            GameObject(
+                mesh=monkey,
+                transform=translation(
+                    (2.2 * (gx - side / 2), 0.0, -2.2 * gz)
+                ) @ rotation(math.radians((i * 37.0) % 360.0), (0.0, 1.0, 0.0)),
+                material_override=i % 3,
+            )
         )
-    )
+    cam_pos = np.array([0.0, 6.0, 8.0], np.float32)
+    cam_tgt = np.array([0.0, -0.45, -0.89], np.float32)
 scene = Scene(
     camera=Camera(
-        position=np.array([0.0, 6.0, 8.0], np.float32),
-        target=np.array([0.0, -0.45, -0.89], np.float32),
+        position=cam_pos,
+        target=cam_tgt,
         aspect_ratio=W / H,
     ),
     materials=[
@@ -66,15 +97,15 @@ scene = Scene(
     game_objects=objs,
 )
 total_tris = scene.num_triangles
-print(f"# field: {N_INSTANCES} Suzannes, {total_tris} world triangles",
-      file=sys.stderr)
+kind = "dense mesh x2" if "+mesh" in variant_argv else f"{N_INSTANCES} Suzannes"
+print(f"# {kind}: {total_tris} world triangles", file=sys.stderr)
 
 cam = {k: jnp.asarray(v) for k, v in scene.camera.device_params().items()}
-mode = sys.argv[2] if len(sys.argv) > 2 else "tiered"  # tiered | chunked
+mode = mode_argv  # tiered | chunked
 TRE_ROWS = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 # extra config variants, e.g. "+oct" (octant bounce walks), "+f4" (sample
-# fusion), "+rebin" — applied to the benched config
-variant = sys.argv[4] if len(sys.argv) > 4 else ""
+# fusion), "+rebin", "+mesh" (dense-surface scene) — applied to the config
+variant = variant_argv
 
 
 def apply_variant(cfg):
@@ -84,6 +115,8 @@ def apply_variant(cfg):
         cfg = cfg.replace(bounce_rebin=True)
     if "+fr" in variant:
         cfg = cfg.replace(frustum_primary=True)
+    if "+p2" in variant:
+        cfg = cfg.replace(dual_pop=True)
     if "+f" in variant:
         fv = variant.partition("+f")[2].split("+")[0]
         if fv.isdigit():

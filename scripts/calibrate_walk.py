@@ -116,6 +116,20 @@ def counting_walk(inner_ref, leaf_ref, stack_ref, leaf_k,
         elif variant == "+fetch":
             row2 = inner_ref[pl.ds(jnp.maximum(node - 1, 0), 1), :]
             stack_ref[STACK_DEPTH - 1] = row2[0, 12].astype(jnp.int32)
+        elif variant == "+mt":
+            # one extra Moller-Trumbore test per iteration (inner row floats
+            # as fake triangle data) — the per-triangle marginal in context
+            tfk, hfk = _mt_broadcast(
+                ox, oy, oz, dx, dy, dz, [row[0, c] for c in range(9)]
+            )
+            hitl = hitl & ((tfk > -1e30) | ~hfk)
+        elif variant == "+div8":
+            # eight extra f32 divisions (what one leaf visit's MT pays in
+            # reciprocals) — if large, a division-free MT is worth building
+            acc = tminl
+            for kk in range(8):
+                acc = 1.0 / (jnp.abs(acc) + jnp.float32(1.5 + kk))
+            hitl = hitl & (acc > -1e30)
         l_leaf = lcnt >= 0
         r_leaf = rcnt >= 0
         hit_leaf_l = any_l & l_leaf
@@ -233,7 +247,37 @@ def tiles_of(v, n):
 def main():
     W, H = 1920, 1080
     cfg = RenderConfig(width=W, height=H, spp=1, max_bounces=5)
-    scene = build_demo_scene(W, H)
+    if os.environ.get("RAYZEN_CAL_SCENE") == "mesh500k":
+        # the dense-surface large scene (bench_large +mesh): does the
+        # 84k-inner-row tree change ns/iter (table-size effect) or only
+        # iterations (union effect)?
+        from rayzen_tpu.camera import Camera
+        from rayzen_tpu.demo import ASSET_DIR
+        from rayzen_tpu.mesh import Mesh
+        from rayzen_tpu.procedural import subdivide
+        from rayzen_tpu.scene import GameObject, Scene
+        from rayzen_tpu.transforms import translation
+
+        monkey = Mesh.load_from_obj(
+            os.path.join(ASSET_DIR, "monkey.obj"), 0)
+        dense = subdivide(monkey, 4, displace=0.01)
+        from rayzen_tpu.light import Light
+        from rayzen_tpu.material import Material
+
+        scene = Scene(
+            camera=Camera(position=np.array([0.0, 0.4, 3.4], np.float32),
+                          target=np.array([0.0, -0.08, -0.99], np.float32),
+                          aspect_ratio=W / H),
+            materials=[Material(albedo=(0.8, 0.8, 0.8), metallic=0.1,
+                                roughness=0.5)],
+            lights=[Light(position_or_direction=(5.0, 10.0, 5.0, 1.0))],
+            game_objects=[
+                GameObject(mesh=dense, transform=translation((-1.25, 0, 0))),
+                GameObject(mesh=dense, transform=translation((1.25, 0, 0))),
+            ],
+        )
+    else:
+        scene = build_demo_scene(W, H)
     arrays = pack_scene(scene, cfg)
     ws = world_geometry(arrays)
     ws = jax.tree_util.tree_map(
@@ -282,7 +326,8 @@ def main():
           f"{PACKET_ROWS}x128 rays; reps 1 vs {REPS_HI}")
     jobs = [("primary", primary_rays, "full")] + [
         ("bounce", bounce_rays, v)
-        for v in ("full", "+red", "+slab", "+fetch", "leafless")
+        for v in ("full", "+red", "+slab", "+fetch", "+mt", "+div8",
+                  "leafless")
     ]
     for label, rays, variant in jobs:
         t1, it1, lf1 = run_probe(ws, rays, 1, variant)
