@@ -101,11 +101,17 @@ class RenderConfig:
     # tile covered) gain the most. BVH2 single-tree scenes only.
     frustum_primary: bool = False
 
-    # BVH2 walks pop TWO stack entries per while_loop trip: the two nodes'
-    # row fetches, slab tests and packed consensus reductions are independent
-    # so Mosaic overlaps their latencies, amortizing the per-iteration
-    # overhead floor across two visits (traversal order becomes pairwise
-    # rather than strictly depth-first; t-pruning unaffected).
+    # BVH2 walks pop N stack entries per while_loop trip: the nodes' row
+    # fetches, slab tests and packed consensus reductions are independent so
+    # Mosaic overlaps their latencies — on LONG walks (big trees) an extra
+    # node's work is nearly free, so this amortizes the per-trip overhead
+    # N-fold (measured +29% on the 503k field at N=2; -14% on the small demo
+    # tree, whose short walks pay for the dummy slots). 0 = auto: 1 for
+    # small trees, multi-pop past walk_pop_auto_rows inner rows.
+    walk_pop: int = 0
+    walk_pop_auto_rows: int = 16384
+    walk_pop_auto_n: int = 2
+    # Back-compat alias: forces N=2 when walk_pop is 0.
     dual_pop: bool = False
 
     # Megakernel BVH2 leaf handling: process both children's leaf triangles

@@ -460,7 +460,7 @@ def _direct_lighting_tiles(
 def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
                         max_bounces: int, cfg: RenderConfig,
                         n_samples: int = 1, tiered: bool = False,
-                        fuse: int = 1):
+                        fuse: int = 1, pop_n: int = 1):
     """Full path-tracing samples per packet: raygen, primary hit, direct
     lighting (with in-kernel shadow walks), scatter, and the bounce loop —
     the reference megakernel main() (fragment_shader.glsl:668-822) reshaped
@@ -495,11 +495,11 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
     else:
         walk_closest = functools.partial(
             bvh2_walk_closest, dense_leaves=cfg.dense_leaves,
-            dual_pop=cfg.dual_pop,
+            pop_n=pop_n,
         )
         walk_shadow = functools.partial(
             bvh2_walk_shadow, dense_leaves=cfg.dense_leaves,
-            dual_pop=cfg.dual_pop,
+            pop_n=pop_n,
         )
     # Frustum-interval walks for the COHERENT bounce-0 waves (primary rays +
     # the direct-lighting shadow fan): internal-node tests become pure scalar
@@ -787,9 +787,19 @@ def sample_wave(
     fuse = max(1, int(cfg.sample_fuse))
     while n_samples % fuse:
         fuse -= 1
+    # multi-pop walks: amortize per-trip overhead on long walks; auto picks
+    # N by tree size (see RenderConfig.walk_pop)
+    if cfg.walk_pop:
+        pop_n = int(cfg.walk_pop)
+    elif cfg.dual_pop:
+        pop_n = 2
+    elif int(ws.inner_table.shape[0]) > cfg.walk_pop_auto_rows:
+        pop_n = int(cfg.walk_pop_auto_n)
+    else:
+        pop_n = 1
     kernel = _make_sample_kernel(
         ws.leaf_k, int(ws.materials.shape[0]), n_lights, max_bounces, cfg,
-        n_samples=n_samples, tiered=tiered, fuse=fuse,
+        n_samples=n_samples, tiered=tiered, fuse=fuse, pop_n=pop_n,
     )
     if tiered:
         # top tree in VMEM; treelet blocks stay in HBM (DMA'd by the walks)

@@ -242,7 +242,7 @@ STACK_DEPTH = 128  # max tree depth for the ordered stack kernels
 
 def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
                       ox, oy, oz, dx, dy, dz, act, dense_leaves: bool = False,
-                      t_init=None, init_state=None, dual_pop: bool = False):
+                      t_init=None, init_state=None, pop_n: int = 1):
     """In-kernel ordered-stack closest-hit walk (shared by the BVH2 packet
     kernel and the bounce megakernel). Each iteration pops one internal node,
     tests BOTH children's boxes (stored in the parent row), processes leaf
@@ -369,29 +369,34 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
         node = stack_ref[sp]
         return node_step(node, None, sp, t_best, tri_best, nx, ny, nz, menc)
 
-    def body2(c):
-        """Dual pop: two stack entries per while_loop trip. The two nodes'
+    def body_n(c):
+        """Multi-pop: ``pop_n`` stack entries per while_loop trip. The nodes'
         row fetches, slab tests and packed reductions are independent, so
-        Mosaic can overlap their latencies — amortizing the per-iteration
-        overhead floor across two visits. When only one entry remains, the
-        second slot re-reads slot 0 with an all-false mask (no leaf work, no
-        pushes — only the redundant box math). Traversal order is pairwise
-        rather than strictly depth-first; t-pruning still applies (the first
-        node's leaf hits tighten t_best before the second node's box tests)."""
+        Mosaic overlaps their latencies — on long walks (big trees) an extra
+        node's work is nearly free (measured: +slab/+fetch marginals ~0 on
+        the 84k-row tree, scripts/calibrate_walk.py), so this approaches
+        pop_n-fold amortization of the per-trip overhead. Slots past the
+        stack depth re-read slot 0 with an all-false mask (no leaf work, no
+        pushes). Traversal order is groupwise rather than strictly
+        depth-first; t-pruning still applies (each node's leaf hits tighten
+        t_best before the next node's box tests). Short walks (small scenes)
+        lose to the dummy-slot work — measured -14% on the demo tree, +29%
+        on the 503k field."""
         sp, t_best, tri_best, nx, ny, nz, menc = c
-        node_a = stack_ref[sp - 1]
-        have_b = sp >= 2
-        node_b = stack_ref[jnp.maximum(sp - 2, 0)]
-        sp = jnp.maximum(sp - 2, 0)
-        sp, t_best, tri_best, nx, ny, nz, menc = node_step(
-            node_a, None, sp, t_best, tri_best, nx, ny, nz, menc
-        )
-        return node_step(
-            node_b, have_b, sp, t_best, tri_best, nx, ny, nz, menc
-        )
+        nodes = [stack_ref[sp - 1]]
+        valids = [None]
+        for i in range(1, pop_n):
+            nodes.append(stack_ref[jnp.maximum(sp - 1 - i, 0)])
+            valids.append(sp >= i + 1)
+        sp = jnp.maximum(sp - pop_n, 0)
+        for node, valid in zip(nodes, valids):
+            sp, t_best, tri_best, nx, ny, nz, menc = node_step(
+                node, valid, sp, t_best, tri_best, nx, ny, nz, menc
+            )
+        return sp, t_best, tri_best, nx, ny, nz, menc
 
     return jax.lax.while_loop(
-        cond, body2 if dual_pop else body,
+        cond, body_n if pop_n > 1 else body,
         (jnp.int32(1), t0, tri0, nx0, ny0, nz0, me0)
     )[1:]
 
@@ -426,7 +431,7 @@ def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
                      min_visibility, t_eps,
                      ox, oy, oz, dx, dy, dz, maxd, act,
                      dense_leaves: bool = False, vis_init=None,
-                     dual_pop: bool = False):
+                     pop_n: int = 1):
     """In-kernel ordered-stack transmission walk (shared by the BVH2 shadow
     kernel and the sample megakernel). Returns the (tile-shaped) visibility:
     product of surface transparencies within (t_eps, maxd), 0 past an opaque
@@ -519,18 +524,21 @@ def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
         node = stack_ref[sp]
         return node_step(node, None, sp, vis)
 
-    def body2(c):
-        # two pops per trip — see bvh2_walk_closest.body2
+    def body_n(c):
+        # pop_n pops per trip — see bvh2_walk_closest.body_n
         sp, vis = c
-        node_a = stack_ref[sp - 1]
-        have_b = sp >= 2
-        node_b = stack_ref[jnp.maximum(sp - 2, 0)]
-        sp = jnp.maximum(sp - 2, 0)
-        sp, vis = node_step(node_a, None, sp, vis)
-        return node_step(node_b, have_b, sp, vis)
+        nodes = [stack_ref[sp - 1]]
+        valids = [None]
+        for i in range(1, pop_n):
+            nodes.append(stack_ref[jnp.maximum(sp - 1 - i, 0)])
+            valids.append(sp >= i + 1)
+        sp = jnp.maximum(sp - pop_n, 0)
+        for node, valid in zip(nodes, valids):
+            sp, vis = node_step(node, valid, sp, vis)
+        return sp, vis
 
     return jax.lax.while_loop(
-        cond, body2 if dual_pop else body, (jnp.int32(1), vis0)
+        cond, body_n if pop_n > 1 else body, (jnp.int32(1), vis0)
     )[1]
 
 

@@ -148,12 +148,14 @@ class SceneArrays:
 
 # Raw traversal-table bytes one tree may keep VMEM-resident before the pack
 # switches to the tiered (HBM-streamed) view and the Renderer to chunked
-# trees. The megakernel's Mosaic scoped-VMEM limit is raised to 100 MB
-# (ops/megakernel.py), and the working set measures ~3.5-4x raw table bytes,
-# so the envelope is ~24 MB; the default keeps the round-2 value pending the
-# probe sweep (scripts/probe_single_tree.py). Override: RAYZEN_TREE_BUDGET_MB.
+# trees. With the kernels' Mosaic scoped-VMEM limit raised to 100 MB
+# (pallas_call compiler_params), the probe sweep
+# (scripts/probe_single_tree.py) compiled and ran single trees up to 37.3 MB
+# of tables (the 503k-triangle field) on a real v5e — the old 3.5 MB budget
+# was an artifact of the default 16 MB limit. 36 MB default = the largest
+# probe-validated size with margin; override with RAYZEN_TREE_BUDGET_MB.
 SINGLE_TREE_VMEM_BUDGET = int(
-    float(os.environ.get("RAYZEN_TREE_BUDGET_MB", "3.5")) * 1024 * 1024
+    float(os.environ.get("RAYZEN_TREE_BUDGET_MB", "36")) * 1024 * 1024
 )
 
 

@@ -49,11 +49,12 @@ for spec in variants:
     oct_walks = "+oct" in base
     wide = "+w8" in base
     dense = "+dl" in base
-    dual = "+p2" in base
+    pop = 4 if "+p4" in base else (2 if "+p2" in base else 0)
     rebin = "+rebin" in base
     frus = "+fr" in base
     base = (base.replace("+oct", "").replace("+w8", "").replace("+rebin", "")
-            .replace("+dl", "").replace("+p2", "").replace("+fr", ""))
+            .replace("+dl", "").replace("+p2", "").replace("+p4", "")
+            .replace("+fr", ""))
     fuse = 1
     if "+f" in base:
         pre, _, fv = base.partition("+f")
@@ -92,7 +93,7 @@ for spec in variants:
                            kernels=kern, octant_bounce_walks=oct_walks,
                            wide_nodes=wide, dense_leaves=dense,
                            leaf_size=leaf, rng=rng, sample_fuse=fuse,
-                           dual_pop=dual, bounce_rebin=rebin,
+                           walk_pop=pop, bounce_rebin=rebin,
                            frustum_primary=frus)
         arrays = pack_cached(scene, cfg)
         fn = jax.jit(lambda a, c, cfg=cfg: render_radiance_with_stats(a, c, cfg))

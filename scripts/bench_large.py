@@ -115,8 +115,12 @@ def apply_variant(cfg):
         cfg = cfg.replace(bounce_rebin=True)
     if "+fr" in variant:
         cfg = cfg.replace(frustum_primary=True)
-    if "+p2" in variant:
-        cfg = cfg.replace(dual_pop=True)
+    if "+p4" in variant:
+        cfg = cfg.replace(walk_pop=4)
+    elif "+p2" in variant:
+        cfg = cfg.replace(walk_pop=2)
+    if "+p1" in variant:
+        cfg = cfg.replace(walk_pop=1)  # disable the auto multi-pop
     if "+f" in variant:
         fv = variant.partition("+f")[2].split("+")[0]
         if fv.isdigit():
