@@ -64,6 +64,36 @@ def main() -> int:
         )
         return 1
 
+    # second gate at the reference's native 800x600 (main.cpp:35-36): one
+    # extra dispatch against the parity anchor, so the headline number can
+    # never come from a TPU image that only holds up at thumbnail size.
+    aw, ah = 800, 600
+    a_cfg = RenderConfig(width=aw, height=ah, spp=1, max_bounces=5)
+    a_scene = build_demo_scene(aw, ah)
+    a_arrays = pack_scene(a_scene, a_cfg)
+    a_cam = {
+        k: jax.numpy.asarray(v)
+        for k, v in a_scene.camera.device_params().items()
+    }
+    anchor = np.load(
+        os.path.join(here, "tests", "golden", "demo_reference_800x600.npz")
+    )["image"].astype(np.float32)
+    a_img = np.asarray(
+        jax.jit(
+            lambda a, c: render_radiance_with_stats(a, c, a_cfg)
+        )(a_arrays, a_cam)[0]
+    )
+    a_ssim = ssim(a_img, anchor)
+    print(f"# correctness gate: SSIM {a_ssim:.4f} vs CPU golden (800x600)",
+          file=sys.stderr)
+    if a_ssim < 0.98:
+        print(
+            f"BENCH REFUSED: on-TPU render SSIM {a_ssim:.4f} < 0.98 vs "
+            "tests/golden/demo_reference_800x600.npz — fix correctness first",
+            file=sys.stderr,
+        )
+        return 1
+
     width, height = 1920, 1080
     spp = 64  # samples accumulate on device in one dispatch (lax.fori_loop),
     # so per-dispatch transport overhead (~0.6 s fixed on the tunneled v5e

@@ -50,6 +50,15 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--compile-cache", type=str, default=None)
     p.add_argument("--multichip", action="store_true", help="shard over all devices")
     p.add_argument(
+        "--split-bounce", type=int, default=0,
+        help="trace bounces 0..N-1 fused, stream-compact survivors, finish "
+        "in a dense continuation kernel (config.split_bounce; 0 = off)",
+    )
+    p.add_argument(
+        "--split-rebin", choices=["rank", "octant", "octcell"], default="rank",
+        help="ordering of compacted survivors (config.split_rebin)",
+    )
+    p.add_argument(
         "--interactive",
         action="store_true",
         help="stdin-driven live session: WASD/look move the camera, p/l/b/n "
@@ -79,6 +88,8 @@ def main(argv=None) -> int:
         show_fps_overlay=args.show_fps,
         cache_dir=args.cache_dir,
         compile_cache_dir=args.compile_cache,
+        split_bounce=args.split_bounce,
+        split_rebin=args.split_rebin,
     )
     log.set_level(cfg.log_level)
     scene = build_demo_scene(cfg.width, cfg.height, obj_dir=args.obj_dir)

@@ -132,6 +132,29 @@ class RenderConfig:
     # knob for scenes with long-lived incoherent waves.
     octant_bounce_walks: bool = False
 
+    # Split-bounce continuation: trace bounces 0..split_bounce-1 in the
+    # phase-1 megakernel (which also emits per-ray continuation state),
+    # stream-compact the surviving rays at the XLA level (cumsum ranks + one
+    # permutation gather — NO sort; the argsort re-binning measured ~400
+    # ms/sample), then finish bounces split_bounce..N-1 in a phase-2
+    # continuation kernel. Late bounce waves run at single-digit alive
+    # fractions but cost 11-16 ms each (docs/PERFORMANCE.md round 3) because
+    # survivors scatter one-per-packet and every live packet pays a full
+    # consensus walk; compaction concentrates them into few dense packets
+    # while all-dead packets exit their bounce loop immediately. 0 disables
+    # (the single fused megakernel). Reference-RNG single-tree scenes only.
+    split_bounce: int = 0
+    # Ordering of the compacted survivors: "rank" keeps pixel order among
+    # them; "octant" buckets by direction octant first (a sort-free 9-bucket
+    # stable partition), giving each phase-2 packet directionally tight rays.
+    split_rebin: str = "rank"
+    # Re-compact (and re-bin) before EVERY bounce from split_bounce on,
+    # chaining one continuation kernel per late bounce — the cross-packet
+    # re-binning experiment for big scenes, where each diffuse bounce
+    # decorrelates the wave again. Permutations compose on an index vector;
+    # the 13 state tiles are permuted once per phase.
+    split_every: bool = False
+
     # Cross-packet bounce-wave re-binning (staged pipelines only: chunked big
     # scenes and kernels="pallas-nomega"): argsort each bounce wave by origin
     # Morton cell + direction octant at the XLA level so every Pallas packet

@@ -397,11 +397,34 @@ def render_rays(
             else active.astype(bool)
         )
         on_cpu = jax.default_backend() == "cpu"
-        # all spp accumulate INSIDE the kernel (one pallas_call per frame)
-        total, rays_traced = megakernel.sample_wave(
-            ws, cfg, uv, act, camera_params, 0, rng_key, max_bounces,
-            interpret=on_cpu, n_samples=cfg.spp,
+        split = (
+            0 < cfg.split_bounce < max_bounces
+            and cfg.rng == "reference" and not ws.tiered
+            and not cfg.wide_nodes
         )
+        if split:
+            # split-bounce continuation: two pallas_calls + one compaction
+            # permutation per sample, samples looped at the XLA level (the
+            # continuation state is per (ray, sample), so samples cannot
+            # share one in-kernel accumulation loop)
+            def body(samp, carry):
+                total, rays = carry
+                c, r = megakernel.sample_wave_split(
+                    ws, cfg, uv, act, camera_params, samp, rng_key,
+                    max_bounces, interpret=on_cpu,
+                )
+                return total + c, rays + r
+
+            total, rays_traced = jax.lax.fori_loop(
+                0, cfg.spp, body,
+                (jnp.zeros((frag.shape[0], 3), jnp.float32), jnp.int32(0)),
+            )
+        else:
+            # all spp accumulate INSIDE the kernel (one pallas_call per frame)
+            total, rays_traced = megakernel.sample_wave(
+                ws, cfg, uv, act, camera_params, 0, rng_key, max_bounces,
+                interpret=on_cpu, n_samples=cfg.spp,
+            )
         color = jnp.clip(total / float(cfg.spp), 0.0, 1.0)  # glsl:772-773
         if with_stats:
             return color, rays_traced

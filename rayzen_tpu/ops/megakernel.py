@@ -460,7 +460,9 @@ def _direct_lighting_tiles(
 def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
                         max_bounces: int, cfg: RenderConfig,
                         n_samples: int = 1, tiered: bool = False,
-                        fuse: int = 1, pop_n: int = 1):
+                        fuse: int = 1, pop_n: int = 1,
+                        stop_bounce: int | None = None,
+                        emit_state: bool = False):
     """Full path-tracing samples per packet: raygen, primary hit, direct
     lighting (with in-kernel shadow walks), scatter, and the bounce loop —
     the reference megakernel main() (fragment_shader.glsl:668-822) reshaped
@@ -479,8 +481,17 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
     docs/PERFORMANCE.md) amortizes across samples. Requires
     n_samples % fuse == 0. Ref order:
     samp | key | inner | leaf | materials | lights | cam | u v act
-    -> cr cg cb rays (sums over samples), scratch: SMEM stack."""
+    -> cr cg cb rays (sums over samples), scratch: SMEM stack.
+
+    ``stop_bounce``: run only bounces 0..stop_bounce-1 (phase 1 of the
+    split-bounce continuation, config.split_bounce). ``emit_state``: also
+    write the 13 per-ray continuation tiles (o, d, throughput, ior, alive,
+    sampler seeds s0/s1) after the color outputs, for the phase-2 kernel to
+    resume from; requires n_samples == 1, fuse == 1, reference RNG."""
     assert n_samples % fuse == 0 and fuse >= 1
+    if emit_state:
+        assert n_samples == 1 and fuse == 1 and cfg.rng == "reference"
+        assert not tiered, "split-bounce requires the single-tree walks"
     rng = cfg.rng if cfg.rng == "reference" else "hash"
     sky_h, sky_z = cfg.sky_horizon, cfg.sky_zenith
     rr_start = cfg.rr_start_bounce
@@ -541,9 +552,15 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
             primary_fn, shadow0_fn = closest_fn, shadow_fn
 
         else:
-            (inner_ref, leaf_ref, mat_ref, light_ref, cam_ref,
-             u_ref, v_ref, act_ref,
-             cr_ref, cg_ref, cb_ref, rays_ref, stack_ref) = refs
+            if emit_state:
+                (inner_ref, leaf_ref, mat_ref, light_ref, cam_ref,
+                 u_ref, v_ref, act_ref,
+                 cr_ref, cg_ref, cb_ref, rays_ref, *state_refs,
+                 stack_ref) = refs
+            else:
+                (inner_ref, leaf_ref, mat_ref, light_ref, cam_ref,
+                 u_ref, v_ref, act_ref,
+                 cr_ref, cg_ref, cb_ref, rays_ref, stack_ref) = refs
 
             def closest_fn(*rays_act):
                 return walk_closest(
@@ -667,8 +684,13 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
             ox, oy, oz = px + nx * push, py + ny * push, pz + nz * push
             dx, dy, dz = ndx, ndy, ndz
 
-            # ---- bounces 1..N-1 ----
-            if max_bounces > 1:
+            # ---- bounces 1..limit-1 (limit < max_bounces = phase 1 of the
+            # split-bounce continuation; phase 2 resumes from the emitted
+            # state tiles) ----
+            limit = stop_bounce if stop_bounce is not None else max_bounces
+            out = (jnp.int32(1), ox, oy, oz, dx, dy, dz, tx, ty, tz, ior,
+                   alive, cr, cg, cb, rays)
+            if limit > 1:
                 bounce = _make_bounce_body(
                     closest_fn, mat_ref, n_mats,
                     max_bounces, rr_start, sky_h, sky_z, draws_fn,
@@ -676,22 +698,30 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
                 )
 
                 def cond(carry):
-                    return (carry[0] < max_bounces) & (jnp.sum(carry[11]) > 0.0)
+                    return (carry[0] < limit) & (jnp.sum(carry[11]) > 0.0)
 
-                out = jax.lax.while_loop(
-                    cond, bounce,
-                    (jnp.int32(1), ox, oy, oz, dx, dy, dz, tx, ty, tz, ior,
-                     alive, cr, cg, cb, rays),
-                )
-                cr, cg, cb, rays = out[12], out[13], out[14], out[15]
+                out = jax.lax.while_loop(cond, bounce, out)
+            cr, cg, cb, rays = out[12], out[13], out[14], out[15]
+
+            if emit_state:
+                # continuation state: o, d, throughput, ior, alive + the
+                # sampler seeds (pure functions of uv and samp, but cheaper
+                # to carry than to regather uv post-compaction)
+                for ref, val in zip(state_refs, out[1:12] + (s0, s1)):
+                    ref[:] = val
 
             acr, acg, acb, arays = acc
             return acr + cr, acg + cg, acb + cb, arays + rays
 
         zero = jnp.zeros(u.shape, jnp.float32)
-        cr, cg, cb, rays = jax.lax.fori_loop(
-            0, n_samples // fuse, one_sample, (zero, zero, zero, zero)
-        )
+        if emit_state:  # single direct trace (state refs written inside)
+            cr, cg, cb, rays = one_sample(
+                jnp.int32(0), (zero, zero, zero, zero)
+            )
+        else:
+            cr, cg, cb, rays = jax.lax.fori_loop(
+                0, n_samples // fuse, one_sample, (zero, zero, zero, zero)
+            )
         if fuse > 1:  # collapse the fused sub-blocks back onto the pixel tile
             rows = u0.shape[0]
 
@@ -708,6 +738,289 @@ def _make_sample_kernel(leaf_k: int, n_mats: int, n_lights: int,
         rays_ref[:] = rays
 
     return kernel
+
+
+def _make_continuation_kernel(leaf_k: int, n_mats: int, max_bounces: int,
+                              split_b: int, cfg: RenderConfig, pop_n: int,
+                              stop_bounce: int | None = None,
+                              emit_state: bool = False):
+    """Continuation phase of the split-bounce pipeline: resume each
+    (compacted) ray at bounce ``split_b`` from its carried state and run it
+    to ``stop_bounce`` (or the bounce budget) — a slice of the reference
+    bounce loop (fragment_shader.glsl:695-770) over dense alive-only packets.
+    With ``emit_state`` the 13 continuation tiles are written again, so
+    phases can chain with a fresh compaction before every late bounce
+    (config.split_every — the cross-packet re-binning path). Ref order:
+    samp | inner | leaf | materials | state(13) -> cr cg cb rays [state(13)]."""
+    import functools
+
+    sky_h, sky_z = cfg.sky_horizon, cfg.sky_zenith
+    rr_start = cfg.rr_start_bounce
+    walk_closest = functools.partial(
+        bvh2_walk_closest, dense_leaves=cfg.dense_leaves, pop_n=pop_n
+    )
+    limit = stop_bounce if stop_bounce is not None else max_bounces
+
+    def kernel(samp_ref, inner_ref, leaf_ref, mat_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tx_ref, ty_ref, tz_ref, ior_ref, alive_ref, s0_ref, s1_ref,
+               *out_refs):
+        stack_ref = out_refs[-1]
+        cr_ref, cg_ref, cb_ref, rays_ref = out_refs[:4]
+
+        def closest_fn(*rays_act):
+            return walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
+                                *rays_act)
+
+        s0, s1 = s0_ref[:], s1_ref[:]
+        draws_fn = _make_draws_fn("reference", s0, s1, samp_ref[0, 0])
+        bounce = _make_bounce_body(
+            closest_fn, mat_ref, n_mats, max_bounces, rr_start,
+            sky_h, sky_z, draws_fn, octant_walks=cfg.octant_bounce_walks,
+        )
+        zero = jnp.zeros(s0.shape, jnp.float32)
+        init = (jnp.int32(split_b),
+                ox_ref[:], oy_ref[:], oz_ref[:],
+                dx_ref[:], dy_ref[:], dz_ref[:],
+                tx_ref[:], ty_ref[:], tz_ref[:],
+                ior_ref[:], alive_ref[:], zero, zero, zero, zero)
+
+        def cond(carry):
+            return (carry[0] < limit) & (jnp.sum(carry[11]) > 0.0)
+
+        out = jax.lax.while_loop(cond, bounce, init)
+        cr_ref[:] = out[12]
+        cg_ref[:] = out[13]
+        cb_ref[:] = out[14]
+        rays_ref[:] = out[15]
+        if emit_state:
+            for ref, val in zip(out_refs[4:-1], out[1:12] + (s0, s1)):
+                ref[:] = val
+
+    return kernel
+
+
+def _pack_camera(camera_params: dict):
+    """(9, 4) packed camera table: rows 0-3 inv_proj, 4-7 inv_view, 8 pos."""
+    return jnp.concatenate(
+        [
+            jnp.asarray(camera_params["inv_proj"], jnp.float32),
+            jnp.asarray(camera_params["inv_view"], jnp.float32),
+            jnp.concatenate(
+                [jnp.asarray(camera_params["position"], jnp.float32),
+                 jnp.zeros((1,), jnp.float32)]
+            ).reshape(1, 4),
+        ],
+        axis=0,
+    )
+
+
+def _pick_pop_n(ws: WorldArrays, cfg: RenderConfig) -> int:
+    """Multi-pop width: explicit, legacy dual_pop, or auto by tree size."""
+    if cfg.walk_pop:
+        return int(cfg.walk_pop)
+    if cfg.dual_pop:
+        return 2
+    if int(ws.inner_table.shape[0]) > cfg.walk_pop_auto_rows:
+        return int(cfg.walk_pop_auto_n)
+    return 1
+
+
+def _stable_partition(bucket, n_buckets: int):
+    """dest[i] = slot of ray i under a stable partition by bucket id — pure
+    cumsum ranking (n_buckets O(R) passes), no argsort (which measured ~400
+    ms/sample at 2M rays, docs/PERFORMANCE.md)."""
+    dest = jnp.zeros(bucket.shape, jnp.int32)
+    offset = jnp.int32(0)
+    for k in range(n_buckets):
+        mk = (bucket == k).astype(jnp.int32)
+        rank = jnp.cumsum(mk) - mk
+        dest = jnp.where(bucket == k, offset + rank, dest)
+        offset = offset + jnp.sum(mk)
+    return dest
+
+
+def _compaction_permutation(a, dxf, dyf, dzf, mode: str,
+                            origins=None):
+    """Sort-free stable partition of the wave: alive rays first, dead rays
+    last. Returns (dest, order) — ray i moves to slot dest[i]; slot j holds
+    ray order[j].
+
+    Modes: "rank" keeps pixel order among survivors; "octant" buckets them
+    by direction octant (9 buckets); "octcell" additionally sub-orders each
+    octant by a 2x2x2 origin cell — two stable partitions composed LSD-radix
+    style on the index vector (cell pass first, octant pass second), so the
+    full key costs 17 cumsums and two int gathers, never a sort."""
+    n = a.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if mode in ("octant", "octcell"):
+        octv = (
+            (dxf > 0.0).astype(jnp.int32)
+            + 2 * (dyf > 0.0).astype(jnp.int32)
+            + 4 * (dzf > 0.0).astype(jnp.int32)
+        )
+        bucket = jnp.where(a, octv, 8)  # dead rays -> bucket 8 (the back)
+        if mode == "octcell":
+            ox, oy, oz = origins
+            big = jnp.float32(1e30)
+
+            def mid(v):
+                lo = jnp.min(jnp.where(a, v, big))
+                hi = jnp.max(jnp.where(a, v, -big))
+                return 0.5 * (lo + hi)
+
+            cell = (
+                (ox > mid(ox)).astype(jnp.int32)
+                + 2 * (oy > mid(oy)).astype(jnp.int32)
+                + 4 * (oz > mid(oz)).astype(jnp.int32)
+            )
+            dest1 = _stable_partition(cell, 8)
+            order1 = jnp.zeros((n,), jnp.int32).at[dest1].set(iota)
+            dest2 = _stable_partition(bucket[order1], 9)
+            dest = dest2[dest1]
+        else:
+            dest = _stable_partition(bucket, 9)
+    else:
+        ia = a.astype(jnp.int32)
+        rank_alive = jnp.cumsum(ia) - ia
+        da = 1 - ia
+        rank_dead = jnp.sum(ia) + jnp.cumsum(da) - da
+        dest = jnp.where(a, rank_alive, rank_dead)
+    order = jnp.zeros((n,), jnp.int32).at[dest].set(iota)
+    return dest, order
+
+
+def sample_wave_split(
+    ws: WorldArrays,
+    cfg: RenderConfig,
+    uv,  # (R, 2) in [0, 1], packet-tile order
+    active,  # (R,) bool
+    camera_params: dict,
+    samp,  # () traced sample index
+    rng_key,  # () RNG stream key
+    max_bounces: int,
+    interpret: bool = False,
+):
+    """One sample via the split-bounce continuation (config.split_bounce):
+
+      phase 1   bounces 0..split_b-1 in the full megakernel, which also
+                emits 13 per-ray continuation tiles,
+      compact   cumsum-rank permutation moves survivors to the front
+                (optionally octant-bucketed, config.split_rebin),
+      phase 2   bounces split_b..N-1 over the compacted wave — survivors
+                concentrate into few dense packets; the all-dead packets
+                behind them exit their bounce loop after one consensus check.
+
+    Late bounce waves run at single-digit alive fractions yet cost 11-16 ms
+    each when survivors scatter one-per-packet (docs/PERFORMANCE.md round 3);
+    this trades that for one O(R) permutation per sample. Image-identical to
+    the fused kernel: per-ray math and RNG draws are unchanged, rays are only
+    reordered between kernels. Returns (color (R, 3), rays ())."""
+    split_b = int(cfg.split_bounce)
+    if not (0 < split_b < max_bounces):
+        raise ValueError("split_bounce must be in (0, max_bounces)")
+    if cfg.rng != "reference" or ws.tiered or cfg.wide_nodes:
+        raise ValueError(
+            "split_bounce supports the reference-RNG single-tree BVH2 path"
+        )
+    n_rays = uv.shape[0]
+    tiles = [
+        _as_tiles(uv[:, 0]),
+        _as_tiles(uv[:, 1]),
+        _as_tiles(active.astype(jnp.float32)),
+    ]
+    rows = tiles[0].shape[0]
+    pad = (-rows) % PACKET_ROWS
+    if pad:
+        tiles = [jnp.pad(a, ((0, pad), (0, 0))) for a in tiles]
+        rows += pad
+    grid = rows // PACKET_ROWS
+    cam = _pack_camera(camera_params)
+    # progressive keying as in sample_wave: continue the sin-hash sample index
+    samp_arg = (
+        jnp.asarray(samp, jnp.float32)
+        + jnp.asarray(rng_key, jnp.float32) * float(cfg.spp)
+    ).reshape(1, 1)
+    key_arg = jnp.asarray(rng_key, jnp.int32).reshape(1, 1)
+
+    ray_spec = pl.BlockSpec(
+        (PACKET_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_lights = int(ws.lights.shape[0])
+    lights = ws.lights if n_lights else jnp.zeros((1, 8), jnp.float32)
+    n_mats = int(ws.materials.shape[0])
+    pop_n = _pick_pop_n(ws, cfg)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+    f32 = lambda: jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+
+    kernel1 = _make_sample_kernel(
+        ws.leaf_k, n_mats, n_lights, max_bounces, cfg,
+        n_samples=1, tiered=False, fuse=1, pop_n=pop_n,
+        stop_bounce=split_b, emit_state=True,
+    )
+    outs = pl.pallas_call(
+        kernel1,
+        grid=(grid,),
+        out_shape=tuple(f32() for _ in range(17)),
+        in_specs=[smem_scalar, smem_scalar, vmem, vmem, vmem, vmem, vmem]
+        + [ray_spec] * 3,
+        out_specs=(ray_spec,) * 17,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        compiler_params=params,
+        interpret=interpret,
+    )(samp_arg, key_arg, ws.inner_table, ws.leaf_table,
+      ws.materials, lights, cam, *tiles)
+    n_flat = rows * 128
+    cr = outs[0].reshape(n_flat)
+    cg = outs[1].reshape(n_flat)
+    cb = outs[2].reshape(n_flat)
+    rays = jnp.sum(outs[3])
+    flats = [x.reshape(n_flat) for x in outs[4:]]
+
+    # continuation phases: one per compaction point. split_every re-compacts
+    # (and re-bins) before every late bounce; otherwise one phase finishes
+    # the sample. pix2slot tracks where each pixel's ray currently lives
+    # (permutations compose on this index vector, state permutes per phase).
+    starts = (
+        list(range(split_b, max_bounces)) if cfg.split_every else [split_b]
+    )
+    pix2slot = None
+    for i, b_start in enumerate(starts):
+        b_stop = starts[i + 1] if i + 1 < len(starts) else max_bounces
+        alive = flats[10] > 0.5
+        dest, order = _compaction_permutation(
+            alive, flats[3], flats[4], flats[5], cfg.split_rebin,
+            origins=(flats[0], flats[1], flats[2]),
+        )
+        comp = [f[order].reshape(rows, 128) for f in flats]
+        pix2slot = dest if pix2slot is None else dest[pix2slot]
+        emit = b_stop < max_bounces
+        kernel2 = _make_continuation_kernel(
+            ws.leaf_k, n_mats, max_bounces, b_start, cfg, pop_n,
+            stop_bounce=b_stop if emit else None, emit_state=emit,
+        )
+        outs2 = pl.pallas_call(
+            kernel2,
+            grid=(grid,),
+            out_shape=tuple(f32() for _ in range(17 if emit else 4)),
+            in_specs=[smem_scalar, vmem, vmem, vmem] + [ray_spec] * 13,
+            out_specs=(ray_spec,) * (17 if emit else 4),
+            scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+            compiler_params=params,
+            interpret=interpret,
+        )(samp_arg, ws.inner_table, ws.leaf_table, ws.materials, *comp)
+        # phase colors come back in this phase's compacted order
+        cr = cr + outs2[0].reshape(n_flat)[pix2slot]
+        cg = cg + outs2[1].reshape(n_flat)[pix2slot]
+        cb = cb + outs2[2].reshape(n_flat)[pix2slot]
+        rays = rays + jnp.sum(outs2[3])
+        if emit:
+            flats = [x.reshape(n_flat) for x in outs2[4:]]
+
+    color = jnp.stack([cr[:n_rays], cg[:n_rays], cb[:n_rays]], axis=-1)
+    return color, rays.astype(jnp.int32)
 
 
 def sample_wave(
@@ -740,17 +1053,7 @@ def sample_wave(
         rows += pad
     grid = rows // PACKET_ROWS
 
-    cam = jnp.concatenate(
-        [
-            jnp.asarray(camera_params["inv_proj"], jnp.float32),
-            jnp.asarray(camera_params["inv_view"], jnp.float32),
-            jnp.concatenate(
-                [jnp.asarray(camera_params["position"], jnp.float32),
-                 jnp.zeros((1,), jnp.float32)]
-            ).reshape(1, 4),
-        ],
-        axis=0,
-    )  # (9, 4)
+    cam = _pack_camera(camera_params)  # (9, 4)
 
     if cfg.rng == "reference":
         # progressive keying for the sin-hash flow: continue the sample index
@@ -789,14 +1092,7 @@ def sample_wave(
         fuse -= 1
     # multi-pop walks: amortize per-trip overhead on long walks; auto picks
     # N by tree size (see RenderConfig.walk_pop)
-    if cfg.walk_pop:
-        pop_n = int(cfg.walk_pop)
-    elif cfg.dual_pop:
-        pop_n = 2
-    elif int(ws.inner_table.shape[0]) > cfg.walk_pop_auto_rows:
-        pop_n = int(cfg.walk_pop_auto_n)
-    else:
-        pop_n = 1
+    pop_n = _pick_pop_n(ws, cfg)
     kernel = _make_sample_kernel(
         ws.leaf_k, int(ws.materials.shape[0]), n_lights, max_bounces, cfg,
         n_samples=n_samples, tiered=tiered, fuse=fuse, pop_n=pop_n,

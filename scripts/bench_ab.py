@@ -67,6 +67,22 @@ for spec in variants:
     if "+hash" in base:
         base = base.replace("+hash", "")
         rng = "threefry"
+    split, split_rebin, split_every = 0, "rank", False
+    if "+s" in base and not base.partition("+s")[2][:1].isalpha():
+        # "+s3" split-bounce at 3 (rank order), "+s3o" octant-bucketed,
+        # "+s3c" octant+origin-cell, trailing "e" = re-compact every bounce
+        pre, _, sv = base.partition("+s")
+        digits = ""
+        while sv and sv[0].isdigit():
+            digits, sv = digits + sv[0], sv[1:]
+        split = int(digits)
+        if sv[:1] == "o":
+            split_rebin, sv = "octant", sv[1:]
+        elif sv[:1] == "c":
+            split_rebin, sv = "octcell", sv[1:]
+        if sv[:1] == "e":
+            split_every, sv = True, sv[1:]
+        base = pre + sv
     leaf = 8
     if "+l" in base:
         pre, _, lv = base.partition("+l")
@@ -94,7 +110,8 @@ for spec in variants:
                            wide_nodes=wide, dense_leaves=dense,
                            leaf_size=leaf, rng=rng, sample_fuse=fuse,
                            walk_pop=pop, bounce_rebin=rebin,
-                           frustum_primary=frus)
+                           frustum_primary=frus, split_bounce=split,
+                           split_rebin=split_rebin, split_every=split_every)
         arrays = pack_cached(scene, cfg)
         fn = jax.jit(lambda a, c, cfg=cfg: render_radiance_with_stats(a, c, cfg))
         _, (_, rays) = timed(fn, arrays, cam)  # compile + warm

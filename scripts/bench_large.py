@@ -125,6 +125,23 @@ def apply_variant(cfg):
         fv = variant.partition("+f")[2].split("+")[0]
         if fv.isdigit():
             cfg = cfg.replace(sample_fuse=int(fv))
+    if "+s" in variant:
+        # "+s1o" split-bounce at 1, octant-bucketed; "+s2" rank order;
+        # trailing "e" re-compacts before every late bounce ("+s1oe")
+        sv = variant.partition("+s")[2].split("+")[0]
+        digits = ""
+        while sv and sv[0].isdigit():
+            digits, sv = digits + sv[0], sv[1:]
+        if digits:
+            cfg = cfg.replace(split_bounce=int(digits))
+            if sv[:1] == "o":
+                cfg = cfg.replace(split_rebin="octant")
+                sv = sv[1:]
+            if sv[:1] == "c":
+                cfg = cfg.replace(split_rebin="octcell")
+                sv = sv[1:]
+            if sv[:1] == "e":
+                cfg = cfg.replace(split_every=True)
     return cfg
 
 

@@ -58,6 +58,8 @@ VARIANTS = [
     ("frustum-primary", dict(frustum_primary=True)),
     ("sample-fuse2", dict(spp=2, sample_fuse=2)),
     ("bounce-rebin", dict(kernels="pallas-nomega", bounce_rebin=True)),
+    ("split-bounce", dict(split_bounce=3)),
+    ("split-octant", dict(split_bounce=2, split_rebin="octant")),
 ]
 
 failures = []
