@@ -11,13 +11,65 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
+def probe_chip(timeout_s: float = 90.0):
+    """Check TPU backend health in a subprocess.
+
+    The tunneled backend's failure mode is a HANG during init, not an error
+    (round 3: MULTICHIP rc=124, BENCH rc=1), so the probe must be a killable
+    child process, never an in-process jax import.
+    Returns (ok, detail_string).
+    """
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax; d = jax.devices(); "
+                "assert d[0].platform == 'tpu', d; print(d[0].device_kind)",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+        if r.returncode == 0:
+            return True, r.stdout.strip()
+        return False, (r.stderr.strip() or r.stdout.strip())[-300:]
+    except subprocess.TimeoutExpired:
+        return False, f"backend init hang (>{timeout_s:.0f}s)"
+
+
+def wait_for_chip(attempts: int = 3, backoff_s: float = 120.0) -> bool:
+    """Bounded retry-with-backoff on backend init (VERDICT r3 next #1b)."""
+    for i in range(attempts):
+        ok, detail = probe_chip()
+        if ok:
+            print(f"# chip probe ok: {detail}", file=sys.stderr)
+            return True
+        print(
+            f"# chip probe {i + 1}/{attempts} failed: {detail}",
+            file=sys.stderr,
+        )
+        if i + 1 < attempts:
+            time.sleep(backoff_s)
+    return False
+
+
 def main() -> int:
+    if not wait_for_chip():
+        print(
+            "BENCH FAILED: TPU chip unavailable (backend init failed/hung "
+            "after bounded retries) — environment, not correctness",
+            file=sys.stderr,
+        )
+        return 1
+
     import jax
 
     from rayzen_tpu.cache import setup_compile_cache
