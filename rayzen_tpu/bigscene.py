@@ -37,12 +37,17 @@ from .scene import GameObject, Scene
 # Per-chunk world-triangle budget, derived from the single-tree VMEM table
 # budget (packing.SINGLE_TREE_VMEM_BUDGET, overridable via
 # RAYZEN_TREE_BUDGET_MB): table bytes measure ~74-80 B per world triangle
-# (probe sweep, scripts/probe_single_tree.py), so chunks track whatever
-# budget the Mosaic scoped-VMEM limit supports. At the conservative 3.5 MB
-# default this reproduces the round-2 value (~45k tris).
+# (probe sweep, scripts/probe_single_tree.py), so at the 36 MB default a
+# chunk holds ~471k tris (one 503k-tri scene fits ~one chunk). The chunk
+# size is capped at the probe-validated table budget (37.3 MB measured
+# resident, scripts/probe_single_tree.py) independently of the env
+# override, so a budget experiment can't silently over-size chunks past
+# what Mosaic's scoped-VMEM limit was ever validated to hold (ADVICE r3).
 from .packing import SINGLE_TREE_VMEM_BUDGET
 
-DEFAULT_CHUNK_TRIS = SINGLE_TREE_VMEM_BUDGET // 80
+_PROBE_VALIDATED_TABLE_BYTES = int(37.3 * 2**20)
+DEFAULT_CHUNK_TRIS = min(SINGLE_TREE_VMEM_BUDGET,
+                         _PROBE_VALIDATED_TABLE_BYTES) // 80
 
 
 def _morton3(cent: np.ndarray) -> np.ndarray:

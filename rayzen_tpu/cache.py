@@ -58,12 +58,17 @@ def save_scene_arrays(path: str, arrays: SceneArrays) -> None:
 
 
 def load_scene_arrays(path: str) -> SceneArrays:
+    from .packing import bvh2_depth
+
     with np.load(path) as z:
+        # tree depth is recomputed from the cached topology (cheap host BFS)
+        # rather than persisted, so old caches stay loadable
+        depth = bvh2_depth(z["bvh2_child_ref"], z["bvh2_child_count"])
         # one batched device transfer (vs one staged dispatch per field on
         # tunneled transports)
         kwargs = jax.device_put({f: z[f] for f in _ARRAY_FIELDS})
         meta = tuple(InstanceMeta(*(int(x) for x in row)) for row in z["instance_meta"])
-    return SceneArrays(instance_meta=meta, **kwargs)
+    return SceneArrays(instance_meta=meta, tree_depth=depth, **kwargs)
 
 
 def scene_cache_key(scene: Scene, cfg: RenderConfig) -> str:

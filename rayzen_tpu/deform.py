@@ -156,21 +156,24 @@ def render_deforming(
     )
     frag, uv, inv = _swizzled_grid(cfg)
 
-    # Stack-overflow guard: the ordered-stack walks push at most one NET
-    # entry per descent level, so occupancy <= depth + 1; trip the guard with
-    # one level of margin. Structurally unreachable for this builder (depth
-    # <= 64, see module docstring) — if a future builder change breaks that,
-    # the frame comes back NaN with a printed diagnostic instead of a silent
-    # out-of-bounds stack walk.
+    # Stack-overflow guard: single-pop ordered-stack walks push at most one
+    # NET entry per descent level (occupancy <= depth + 1), but multi-pop
+    # walks can reach ~pop_n x depth (ADVICE r3) — so the guard must use the
+    # pop width the megakernel will actually select for this tree. The LBVH's
+    # depth is device-computed (traced), so the static _pick_pop_n clamp
+    # can't apply here; this runtime check covers it.
+    from .ops.megakernel import _pick_pop_n
     from .ops.pallas_traverse import STACK_DEPTH
 
-    depth_ok = tree_depth <= STACK_DEPTH - 2
+    pop_n = _pick_pop_n(ws, cfg) if cfg.kernels != "xla" else 1
+    depth_ok = tree_depth <= (STACK_DEPTH - 2) // pop_n
     jax.lax.cond(
         depth_ok,
         lambda: None,
         lambda: jax.debug.print(
             "rayzen_tpu.deform: LBVH depth {d} exceeds the {s}-entry "
-            "traversal stack — frame poisoned with NaN",
+            "traversal stack at pop width " + str(pop_n) +
+            " — frame poisoned with NaN",
             d=tree_depth, s=STACK_DEPTH,
         ),
     )

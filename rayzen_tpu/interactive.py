@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import shlex
 import sys
+from collections import deque
 from typing import IO, Iterable, Optional
 
 import numpy as np
@@ -59,16 +60,27 @@ class InteractiveSession:
         self.status = status
         self.mode = "auto"  # "auto" follows compile readiness; "preview" forced
         self.frame: Optional[np.ndarray] = None
+        self._pending = deque()  # in-flight PendingFrames (pipelined run)
 
     # -- command handling -------------------------------------------------
     def handle(self, line: str) -> bool:
-        """Apply one command. Returns False when the session should end."""
+        """Apply one command and render synchronously. Returns False when the
+        session should end."""
+        cont, rerender = self._apply(line)
+        if cont and rerender:
+            self._render()
+        return cont
+
+    def _apply(self, line: str) -> tuple:
+        """Apply one command's state mutation. Returns (continue, rerender)
+        so the session loop can choose sync rendering (handle) or pipelined
+        async dispatch (run with pipeline > 1)."""
         parts = shlex.split(line.strip())
         cmd = parts[0].lower() if parts else ""
         r = self.r
         cam = r.scene.camera
         if cmd == "quit":
-            return False
+            return False, False
         elif cmd in ("w", "a", "s", "d"):
             dt = float(parts[1]) if len(parts) > 1 else 0.5
             {
@@ -101,27 +113,38 @@ class InteractiveSession:
             if hit is None:
                 self._say("pick: miss")
             else:
-                r.cfg = r.cfg.replace(
-                    debug_selected_blas=hit["instance"],
-                    debug_selected_tri=hit["triangle"],
-                )
+                if hit.get("chunk", 0) == 0:
+                    r.cfg = r.cfg.replace(
+                        debug_selected_blas=hit["instance"],
+                        debug_selected_tri=hit["triangle"],
+                    )
+                else:
+                    # chunked pick indices are local to the winning chunk's
+                    # packed arrays, but the wireframe overlay renders from
+                    # chunk 0's arrays — highlighting chunk-0 instance
+                    # hit["instance"] would outline the WRONG object
+                    # (ADVICE r3), so report without selecting.
+                    self._say(
+                        f"pick: selection overlay unavailable for chunk "
+                        f"{hit['chunk']} (overlays draw from chunk 0)"
+                    )
                 chunk = f" chunk {hit['chunk']}" if "chunk" in hit else ""
                 self._say(
                     f"pick: instance {hit['instance']} tri {hit['triangle']}"
                     f"{chunk} t={hit['t']:.3f}"
                 )
         elif cmd == "save" and len(parts) >= 2:
+            self._drain()  # pipelined mode: resolve in-flight frames first
             if self.frame is not None:
                 write_png(parts[1], self.frame)
                 self._say(f"saved {parts[1]}")
-            return True
+            return True, False
         elif cmd == "":
             pass  # bare Enter: just re-render
         else:
             self._say(f"? unknown command: {line.strip()!r}")
-            return True
-        self._render()
-        return True
+            return True, False
+        return True, True
 
     def _render(self) -> None:
         self.frame = self.r.render_frame(mode=self.mode)
@@ -141,14 +164,63 @@ class InteractiveSession:
     def _say(self, msg: str) -> None:
         print(msg, file=self.status, flush=True)
 
+    def _dispatch(self) -> None:
+        """Dispatch one async frame (pipelined mode), recording the dispatch-
+        time status so the resolve can report the camera state the frame
+        actually rendered."""
+        cam = self.r.scene.camera
+        status = (
+            f"[{self.mode}] "
+            f"pos=({cam.position[0]:.2f},{cam.position[1]:.2f},"
+            f"{cam.position[2]:.2f}) "
+            f"yaw={cam.yaw:.1f} pitch={cam.pitch:.1f} "
+            f"bvh={'on' if self.r.cfg.debug_show_bvh else 'off'} "
+            f"lights={'on' if self.r.cfg.debug_show_lights else 'off'}"
+        )
+        self._pending.append((self.r.render_frame_async(mode=self.mode),
+                              status))
+
+    def _resolve_one(self) -> None:
+        pf, status = self._pending.popleft()
+        self.frame = pf.resolve()
+        if self.out_path:
+            write_png(self.out_path, self.frame)
+        p = self.r.profiler
+        self._say(f"frame {pf.frame_no} {status} fps={p.fps_ema or 0.0:.1f}")
+
+    def _drain(self) -> None:
+        while self._pending:
+            self._resolve_one()
+
     # -- session loops ----------------------------------------------------
-    def run(self, stream: Iterable[str] = None) -> int:
-        """Consume commands until EOF or 'quit'. Returns frames rendered."""
+    def run(self, stream: Iterable[str] = None, pipeline: int = 1) -> int:
+        """Consume commands until EOF or 'quit'. Returns frames rendered.
+
+        ``pipeline`` > 1 keeps up to that many frames in flight (async
+        dispatch; JAX overlaps the transport's fixed per-dispatch staging
+        with device compute — the bench.py frames-in-flight steady state).
+        Consecutive motion commands then cost ~max(staging, compute) instead
+        of their sum. 1 = the original strictly-synchronous loop."""
         stream = stream if stream is not None else sys.stdin
-        self._render()  # first frame before any input
+        if pipeline <= 1:
+            self._render()  # first frame before any input
+            n = 1
+            for line in stream:
+                if not self.handle(line):
+                    break
+                n += 1
+            return n
+
+        self._dispatch()  # first frame before any input
         n = 1
         for line in stream:
-            if not self.handle(line):
+            cont, rerender = self._apply(line)
+            if not cont:
                 break
-            n += 1
+            if rerender:
+                self._dispatch()
+                n += 1
+            while len(self._pending) >= pipeline:
+                self._resolve_one()
+        self._drain()
         return n

@@ -816,14 +816,32 @@ def _pack_camera(camera_params: dict):
 
 
 def _pick_pop_n(ws: WorldArrays, cfg: RenderConfig) -> int:
-    """Multi-pop width: explicit, legacy dual_pop, or auto by tree size."""
+    """Multi-pop width: explicit, legacy dual_pop, or auto by tree size.
+
+    Bounded by the packed tree's measured depth (ADVICE r3): multi-pop stack
+    occupancy can reach ~pop_n x depth, so an unbounded width on a deep tree
+    would overflow the STACK_DEPTH-entry SMEM stack. Unknown depth (0 — the
+    deform path's device-built LBVH) keeps the requested width; that path
+    guards at runtime against the matching (STACK_DEPTH - 2) // pop_n bound
+    (deform.py)."""
     if cfg.walk_pop:
-        return int(cfg.walk_pop)
-    if cfg.dual_pop:
-        return 2
-    if int(ws.inner_table.shape[0]) > cfg.walk_pop_auto_rows:
-        return int(cfg.walk_pop_auto_n)
-    return 1
+        n = int(cfg.walk_pop)
+    elif cfg.dual_pop:
+        n = 2
+    elif int(ws.inner_table.shape[0]) > cfg.walk_pop_auto_rows:
+        n = int(cfg.walk_pop_auto_n)
+    else:
+        return 1
+    depth = int(getattr(ws, "tree_depth", 0))
+    if n > 1 and depth > 0:
+        safe = max(1, (STACK_DEPTH - 2) // (depth + 1))
+        if n > safe:
+            log.warning(
+                f"walk_pop {n} would overflow the {STACK_DEPTH}-entry "
+                f"traversal stack on a depth-{depth} tree; clamped to {safe}"
+            )
+            n = safe
+    return n
 
 
 def _stable_partition(bucket, n_buckets: int):

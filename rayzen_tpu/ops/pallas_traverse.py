@@ -358,8 +358,17 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
         # fixed left-near ordering (consensus ordering costs 2 more
         # reductions and measured as a wash)
         v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
-        stack_ref[sp] = v0
-        stack_ref[sp + 1] = lref
+        if valid is None:
+            sp_w = sp  # single-pop: occupancy <= depth + 1, in bounds by the
+            # callers' depth guards
+        else:
+            # multi-pop occupancy can reach ~pop_n x depth (ADVICE r3):
+            # _pick_pop_n bounds pop_n by the measured tree depth, and this
+            # clamp confines any residual overflow to the stack itself —
+            # never a silent out-of-bounds SMEM write
+            sp_w = jnp.minimum(sp, STACK_DEPTH - 2)
+        stack_ref[sp_w] = v0
+        stack_ref[sp_w + 1] = lref
         sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
         return sp, t_best, tri_best, nx, ny, nz, menc
 
@@ -512,8 +521,10 @@ def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
         push_r = any_r & jnp.logical_not(r_leaf)
         both = push_l & push_r
         v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
-        stack_ref[sp] = v0
-        stack_ref[sp + 1] = lref
+        # multi-pop stack clamp — see bvh2_walk_closest.node_step
+        sp_w = sp if valid is None else jnp.minimum(sp, STACK_DEPTH - 2)
+        stack_ref[sp_w] = v0
+        stack_ref[sp_w + 1] = lref
         sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
         sp = jnp.where(dead, 0, sp)
         return sp, vis

@@ -126,6 +126,11 @@ class SceneArrays:
     instance_meta: Tuple[InstanceMeta, ...] = dataclasses.field(
         metadata=dict(static=True)
     )
+    # Measured inner-node depth of the BVH2 ordered-walk tree (pack time,
+    # host). 0 = unknown (e.g. reconstructed objects missing it). Used to
+    # bound multi-pop walk width (megakernel._pick_pop_n): multi-pop stack
+    # occupancy can reach ~pop_n x depth (ADVICE r3).
+    tree_depth: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def num_instances(self) -> int:
@@ -169,6 +174,24 @@ def single_tree_table_bytes(n_inner: int, n_leaf_rows: int, leaf_size: int) -> i
 _blas_cache: dict = {}
 
 _BLAS_FIELDS = ("bounds_min", "bounds_max", "left_first", "count", "miss", "order")
+
+
+def bvh2_depth(child_ref, child_count) -> int:
+    """Inner-node depth of the BVH2 ordered-walk tree (host, pack time): one
+    vectorized level-BFS pass per level from the root. Bounds multi-pop walk
+    width — multi-pop stack occupancy can reach ~pop_n x depth (ADVICE r3)."""
+    ref = np.asarray(child_ref)
+    cnt = np.asarray(child_count)
+    if ref.shape[0] == 0:
+        return 0
+    frontier = np.zeros((1,), np.int64)
+    depth = 0
+    while frontier.size and depth <= ref.shape[0]:
+        depth += 1
+        r = ref[frontier].ravel()
+        c = cnt[frontier].ravel()
+        frontier = r[c == -1].astype(np.int64)
+    return depth
 
 
 def _blas_disk_path(mesh, cfg: RenderConfig) -> str:
@@ -299,6 +322,7 @@ def pack_scene_host(
         instance_meta, node_meta, transforms, root_bmin, root_bmax,
         leaf_k=cfg.leaf_size,
     )
+    tree_depth = bvh2_depth(uni["bvh2_child_ref"], uni["bvh2_child_count"])
 
     # tiered (HBM-streamed treelet) view when the single tree exceeds VMEM
     n_inner = uni["bvh2_child_node"].shape[0]
@@ -370,6 +394,7 @@ def pack_scene_host(
         materials=pack_materials(scene.materials),
         lights=pack_lights(scene.lights),
         instance_meta=tuple(instance_meta),
+        tree_depth=tree_depth,
     )
 
 
@@ -935,6 +960,9 @@ class WorldArrays:
     # static marker: tiered treelet view populated (scenes past the VMEM
     # budget); selects the DMA-streaming walks in the megakernel
     tiered: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # pack-time BVH2 inner depth (0 = unknown, e.g. the deform path's
+    # device-built LBVH) — bounds multi-pop walk width (_pick_pop_n)
+    tree_depth: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def num_lights(self) -> int:
@@ -1111,6 +1139,7 @@ def world_geometry(arrays: SceneArrays) -> WorldArrays:
         lights=arrays.lights,
         leaf_k=int(leaf_k),
         tiered=tiered,
+        tree_depth=int(arrays.tree_depth),
     )
 
 

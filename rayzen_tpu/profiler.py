@@ -63,7 +63,20 @@ class FrameProfiler:
             ) * 1e3
 
     def end_frame(self, rays_traced: int = 0) -> Dict[str, float]:
-        total_ms = (time.perf_counter() - self._frame_start) * 1e3
+        return self.record(
+            (time.perf_counter() - self._frame_start) * 1e3,
+            rays_traced=rays_traced,
+        )
+
+    def record(
+        self, total_ms: float, rays_traced: int = 0,
+        phases: Optional[Dict[str, float]] = None,
+    ) -> Dict[str, float]:
+        """Record an externally-timed frame (async/pipelined frames measure
+        dispatch->resolve wall themselves; begin_frame/end_frame would
+        interleave across frames in flight)."""
+        if phases is not None:
+            self._phases = phases
         fps = 1000.0 / max(total_ms, 1e-6)
         if self.fps_ema is None:
             self.fps_ema = fps

@@ -22,6 +22,7 @@ TPU translation:
 from __future__ import annotations
 
 import threading
+import time
 from typing import Optional
 
 import jax
@@ -391,6 +392,47 @@ class Renderer:
         self.frame_index += 1
         return out
 
+    def render_frame_async(self, mode: str = "auto") -> "PendingFrame":
+        """Dispatch one frame WITHOUT syncing: JAX's async dispatch keeps the
+        device (and the tunneled transport's staging) busy while the host
+        moves on — the frames-in-flight steady state bench.py measures,
+        applied to the live session loop (VERDICT r3 #7). The returned
+        PendingFrame's ``resolve()`` is the sync point (readback + host
+        overlays + profiler record).
+
+        Reference identity: the GLFW loop's implicit pipelining — the driver
+        queues frames ahead of vsync (main.cpp:637-654)."""
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        cam = self._camera_params()
+        use_preview = mode == "preview" or (
+            mode == "auto" and not self.path_tracer_ready
+        )
+        rays_arr = None
+        if use_preview:
+            img = self._preview(self.arrays, cam)
+        else:
+            use_first = self.frame_index == 0 and not cfg.accumulate
+            fn = self._render_first if use_first else self._render_full
+            key = jnp.uint32(self.frame_index if cfg.accumulate else 0)
+            img, rays_arr = fn(self._trace_arrays, cam, key)
+            if cfg.accumulate:
+                if self._accum is None:
+                    self._accum = img
+                    self._accum_count = 1
+                else:
+                    self._accum_count += 1
+                    self._accum = self._accum_update(
+                        self._accum, img, jnp.float32(1.0 / self._accum_count)
+                    )
+                img = self._accum
+        self.frame_index += 1
+        # overlays are host-side numpy (overlay.py) — forcing them here would
+        # sync; PendingFrame applies them to the resolved frame instead, with
+        # the cfg/arrays snapshot from dispatch time (toggles may change while
+        # the frame is in flight)
+        return PendingFrame(self, img, rays_arr, cam, cfg, self.arrays, t0)
+
     def warmup(self, frames: int) -> None:
         """Pre-warm compile + execution without readback (runPathTracerWarmup,
         main.cpp:1324-1354: hidden frames with glFinish). If the path-tracer
@@ -413,3 +455,38 @@ class Renderer:
         scene: Scene, cfg: RenderConfig, n_devices: Optional[int] = None, **kw
     ):
         return Renderer(scene, cfg, mesh=make_mesh(n_devices), **kw)
+
+
+class PendingFrame:
+    """A dispatched-but-unsynced frame from Renderer.render_frame_async.
+
+    Holds device-array handles plus the dispatch-time cfg/arrays snapshot;
+    ``resolve()`` syncs (the np.asarray readback), applies host-side overlays,
+    records the dispatch->resolve wall in the profiler, and returns the
+    (H, W, 3) float32 frame."""
+
+    def __init__(self, renderer, img, rays_arr, cam, cfg, arrays, t0):
+        self._r = renderer
+        self._img = img
+        self._rays = rays_arr
+        self._cam = cam
+        self._cfg = cfg
+        self._arrays = arrays
+        self._t0 = t0
+        self.frame_no = renderer.frame_index - 1
+
+    def resolve(self) -> np.ndarray:
+        out = np.asarray(self._img)  # the sync point
+        rays = int(self._rays) if self._rays is not None else 0
+        cfg = self._cfg
+        if cfg.debug_show_bvh or cfg.debug_show_lights or cfg.show_fps_overlay:
+            out = np.asarray(
+                apply_overlays(
+                    out, self._arrays, self._cam, cfg,
+                    fps=self._r.profiler.fps_ema or 0.0,
+                )
+            )
+        self._r.profiler.record(
+            (time.perf_counter() - self._t0) * 1e3, rays_traced=rays
+        )
+        return out

@@ -14,9 +14,14 @@ bvh2_walk_closest body (rayzen_tpu/ops/pallas_traverse.py) run on:
 Outputs per ray class: iterations/packet, wall ns/iteration (marginal over a
 repeat-factor sweep so fixed dispatch cost cancels).
 
-Usage: python scripts/calibrate_walk.py [reps_hi]
+Usage: python scripts/calibrate_walk.py [reps_hi] [--json PATH]
+
+--json writes the one-shot numbers (iters/packet, ns/iter, component
+marginals) to a committed JSON so future kernel changes show their cost-
+structure delta instead of only end-to-end ms (VERDICT r3 #9).
 """
 
+import json
 import os
 import sys
 import time
@@ -41,7 +46,11 @@ from rayzen_tpu.ops.pallas_traverse import (
 
 setup_compile_cache(".rayzen_cache/xla")
 
-REPS_HI = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+REPS_HI = int(_args[0]) if _args else 8
+JSON_PATH = None
+if "--json" in sys.argv:
+    JSON_PATH = sys.argv[sys.argv.index("--json") + 1]
 
 
 def counting_walk(inner_ref, leaf_ref, stack_ref, leaf_k,
@@ -329,6 +338,7 @@ def main():
         for v in ("full", "+red", "+slab", "+fetch", "+mt", "+div8",
                   "leafless")
     ]
+    records = []
     for label, rays, variant in jobs:
         t1, it1, lf1 = run_probe(ws, rays, 1, variant)
         tH, itH, lfH = run_probe(ws, rays, REPS_HI, variant)
@@ -340,6 +350,29 @@ def main():
               f"leaf-visits/packet {lf1 / packs:7.1f}  "
               f"marginal {d_t / d_iters * 1e9:7.1f} ns/iter  "
               f"(walk {d_t / (REPS_HI - 1) / packs * 1e6:7.1f} us/packet)")
+        records.append({
+            "load": label, "variant": variant,
+            "iters_per_packet": round(it1 / packs, 1),
+            "tree_fraction_pct": round(it1 / packs / n_inner * 100, 1),
+            "leaf_visits_per_packet": round(lf1 / packs, 1),
+            "ns_per_iter": round(d_t / d_iters * 1e9, 1),
+            "us_per_packet_walk": round(
+                d_t / (REPS_HI - 1) / packs * 1e6, 1),
+        })
+    if JSON_PATH:
+        payload = {
+            "device": jax.devices()[0].device_kind,
+            "tree": {"inner_rows": n_inner,
+                     "leaf_rows": int(ws.leaf_table.shape[0]),
+                     "leaf_k": int(ws.leaf_k)},
+            "packets": N // n_pack_rays,
+            "reps_hi": REPS_HI,
+            "probes": records,
+        }
+        os.makedirs(os.path.dirname(JSON_PATH) or ".", exist_ok=True)
+        with open(JSON_PATH, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"# wrote {JSON_PATH}")
 
 
 if __name__ == "__main__":

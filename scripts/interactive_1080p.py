@@ -68,6 +68,19 @@ for cmd in COMMANDS:
     sess.handle(cmd)
     rows.append((cmd, (time.perf_counter() - t0) * 1e3))
 
+# ---- pipelined pass (VERDICT r3 #7): the same command mix driven through
+# run(pipeline=3) so consecutive motion commands keep frames in flight and
+# the transport's fixed per-dispatch staging overlaps device compute. The
+# sustained rate (wall / frames) is the interactive metric with frames in
+# flight; per-frame dispatch->resolve latency comes from the profiler.
+hist_start = len(r.profiler.history)
+t0 = time.perf_counter()
+n_pipe = sess.run(iter(COMMANDS), pipeline=3)
+pipe_wall = time.perf_counter() - t0
+pipe_lat = np.asarray(
+    [h["total"] for h in r.profiler.history[hist_start:]])
+pipe_ms = pipe_wall / max(n_pipe, 1) * 1e3
+
 # presentation cost (the PNG-refresh swap analog), measured separately
 t0 = time.perf_counter()
 png_path = os.path.join(HERE, "docs", "images", "interactive_1080p.png")
@@ -93,9 +106,13 @@ lines = [
     f"demo scene, device: {dev}.",
     "",
     f"- startup (pack + jit compile): {startup_s:.1f} s",
-    f"- steady-state command->frame latency over {len(lat)} commands: "
+    f"- synchronous command->frame latency over {len(lat)} commands: "
     f"median {np.median(lat):.0f} ms, mean {lat.mean():.0f} ms, "
     f"p90 {np.percentile(lat, 90):.0f} ms",
+    f"- PIPELINED session (3 frames in flight, same {n_pipe} commands): "
+    f"sustained {pipe_ms:.0f} ms/frame ({1e3 / max(pipe_ms, 1e-9):.1f} fps); "
+    f"per-frame dispatch->resolve latency median "
+    f"{np.median(pipe_lat):.0f} ms" if len(pipe_lat) else "",
     f"- presentation (PNG swap analog, host-side): {present_ms:.0f} ms",
     f"- fps EMA at session end (alpha 0.1, main.cpp:624-630): "
     f"{prof.fps_ema or 0.0:.1f}",
