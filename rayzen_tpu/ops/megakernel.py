@@ -836,7 +836,7 @@ def _pick_pop_n(ws: WorldArrays, cfg: RenderConfig) -> int:
     if n > 1 and depth > 0:
         safe = max(1, (STACK_DEPTH - 2) // (depth + 1))
         if n > safe:
-            log.warning(
+            log.info(
                 f"walk_pop {n} would overflow the {STACK_DEPTH}-entry "
                 f"traversal stack on a depth-{depth} tree; clamped to {safe}"
             )

@@ -72,3 +72,52 @@ class TestRecordedSession:
         s, tmp = session
         s.handle(f"save {tmp / 'snap.png'}")
         assert os.path.exists(str(tmp / "snap.png"))
+
+
+class TestPipelinedSession:
+    """run(pipeline=N) keeps frames in flight (VERDICT r3 #7): same frames,
+    same final state as the synchronous loop — only the sync points move."""
+
+    def test_pipeline_matches_sync(self, tmp_path):
+        cfg = RenderConfig(
+            width=48, height=32, spp=1, max_bounces=2,
+            cache_dir=str(tmp_path / "cache"),
+        )
+        cmds = ["w 0.4", "look 30 0", "d 0.3", "b", "w 0.2"]
+
+        scene_a = build_small_scene(48, 32)
+        ra = Renderer(scene_a, cfg, use_cache=False, async_compile=False)
+        sa = InteractiveSession(ra, out_path=None, status=io.StringIO())
+        n_sync = sa.run(iter(cmds + ["quit"]))
+
+        scene_b = build_small_scene(48, 32)
+        rb = Renderer(scene_b, cfg, use_cache=False, async_compile=False)
+        sb = InteractiveSession(rb, out_path=None, status=io.StringIO())
+        n_pipe = sb.run(iter(cmds + ["quit"]), pipeline=3)
+
+        assert n_pipe == n_sync
+        # all in-flight frames resolved at session end
+        assert not sb._pending
+        # same camera trajectory and same final frame
+        np.testing.assert_allclose(
+            sa.r.scene.camera.position, sb.r.scene.camera.position
+        )
+        np.testing.assert_allclose(sa.frame, sb.frame, atol=1e-6)
+        # every dispatched frame produced a status line
+        assert sb.status.getvalue().count("frame ") == n_pipe
+
+    def test_save_drains_inflight_frames(self, tmp_path):
+        cfg = RenderConfig(
+            width=48, height=32, spp=1, max_bounces=2,
+            cache_dir=str(tmp_path / "cache"),
+        )
+        scene = build_small_scene(48, 32)
+        r = Renderer(scene, cfg, use_cache=False, async_compile=False)
+        s = InteractiveSession(r, out_path=None, status=io.StringIO())
+        snap = tmp_path / "snap.png"
+        # save arrives while 3 frames are still in flight: it must resolve
+        # them first so the written PNG reflects the latest command
+        s.run(iter(["w 0.4", "look 20 0", "w 0.2", f"save {snap}", "quit"]),
+              pipeline=4)
+        assert os.path.exists(str(snap))
+        assert not s._pending

@@ -242,3 +242,59 @@ class TestSampleMegakernel:
             render_radiance(small_arrays, small_camera, cfg.replace(kernels="pallas"))
         )
         assert np.abs(xla - mega).max() < 1e-4
+
+
+class TestMultiPopStackBound:
+    """Multi-pop stack occupancy can reach ~pop_n x depth (ADVICE r3):
+    _pick_pop_n must bound the pop width by the packed tree's measured depth,
+    and the measured depth must flow from pack time through caches."""
+
+    def test_tree_depth_measured_at_pack(self, small_scene):
+        cfg = RenderConfig(width=32, height=24)
+        arrays = pack_scene(small_scene, cfg)
+        n_inner = int(arrays.bvh2_child_node.shape[0])
+        # depth is positive, at least log2 of the inner count, at most Ni
+        assert arrays.tree_depth >= max(1, int(np.log2(max(n_inner, 1))))
+        assert arrays.tree_depth <= n_inner + 1
+        ws = world_geometry(arrays)
+        assert ws.tree_depth == arrays.tree_depth
+
+    def test_cache_roundtrip_recomputes_depth(self, small_scene, tmp_path):
+        from rayzen_tpu.cache import load_scene_arrays, save_scene_arrays
+
+        cfg = RenderConfig(width=32, height=24)
+        arrays = pack_scene(small_scene, cfg)
+        p = str(tmp_path / "scene.npz")
+        save_scene_arrays(p, arrays)
+        loaded = load_scene_arrays(p)
+        assert loaded.tree_depth == arrays.tree_depth
+
+    def test_pick_pop_n_clamped_by_depth(self, small_scene):
+        import dataclasses
+
+        from rayzen_tpu.ops.megakernel import _pick_pop_n
+        from rayzen_tpu.ops.pallas_traverse import STACK_DEPTH
+
+        cfg = RenderConfig(width=32, height=24)
+        ws = world_geometry(pack_scene(small_scene, cfg))
+
+        # shallow tree: explicit walk_pop honored
+        shallow = dataclasses.replace(ws, tree_depth=10)
+        assert _pick_pop_n(shallow, cfg.replace(walk_pop=4)) == 4
+
+        # deep tree: pop 4 would need ~4 x depth stack entries -> clamped
+        deep = dataclasses.replace(ws, tree_depth=100)
+        assert _pick_pop_n(deep, cfg.replace(walk_pop=4)) == 1
+        mid = dataclasses.replace(ws, tree_depth=60)
+        assert _pick_pop_n(mid, cfg.replace(walk_pop=4)) == 2
+
+        # safe bound: pop_n * (depth + 1) <= STACK_DEPTH - 2 always holds
+        for depth in (1, 16, 63, 64, 100, 500):
+            w = dataclasses.replace(ws, tree_depth=depth)
+            n = _pick_pop_n(w, cfg.replace(walk_pop=8))
+            assert n * (depth + 1) <= STACK_DEPTH - 2 or n == 1
+
+        # unknown depth (deform's device-built LBVH): width kept, the
+        # runtime guard in deform.py covers it
+        unknown = dataclasses.replace(ws, tree_depth=0)
+        assert _pick_pop_n(unknown, cfg.replace(walk_pop=4)) == 4
