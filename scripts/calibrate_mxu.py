@@ -174,6 +174,66 @@ def probe_back_relayout():
     return marginal_ns(make, (y,))
 
 
+def probe_composite(n_tris=25):
+    """The full candidate MXU leaf visit, end to end: Y = A(R,16) @ G(16,128)
+    -> lane rolls to align each triangle's [e1 e2 e3 den num] column group ->
+    sign-consistency + t window -> per-ray lane-min -> reshape back to the
+    walk's (rows,128) t_best tile -> masked update. This is the number that
+    competes with the VPU baseline for the same n_tris; everything the
+    integration would pay per visit is in the loop."""
+
+    def make(reps):
+        def kernel(a_ref, g_ref, mask_ref, out_ref):
+            a = a_ref[:]
+            g = g_ref[:]
+            mask = mask_ref[:] > 0.5  # (R//128? no: (8,128)) -> broadcast rows
+
+            def one(i, carry):
+                acc, tbest = carry
+                y = jnp.dot(a + acc * 1e-30, g,
+                            preferred_element_type=jnp.float32)
+                y2 = pltpu.roll(y, -1, 1)
+                y3 = pltpu.roll(y, -2, 1)
+                den = pltpu.roll(y, -3, 1)
+                num = pltpu.roll(y, -4, 1)
+                e = jnp.float32(1e-7)
+                pos = (y >= -e) & (y2 >= -e) & (y3 >= -e)
+                neg = (y <= e) & (y2 <= e) & (y3 <= e)
+                t = num / den
+                ok = ((pos | neg) & (jnp.abs(den) > 1e-12)
+                      & (t > 1e-4) & mask[:1, :])
+                tc = jnp.where(ok, t, 1e30)
+                tmin = jnp.min(tc, axis=1)  # (R,)
+                tile = jnp.reshape(tmin, (R // 128, 128))
+                improved = tile < tbest
+                tbest = jnp.where(improved, tile, tbest)
+                return acc + jnp.min(tbest) * 1e-6, tbest
+
+            acc, tbest = jax.lax.fori_loop(
+                0, reps, one,
+                (jnp.float32(0.0), jnp.full((R // 128, 128), 1e30)))
+            out_ref[:] = jnp.full((8, 128), acc + jnp.min(tbest))
+
+        f = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20),
+            interpret=INTERP,
+        )
+        return lambda *t: f(*t)
+
+    rng = np.random.default_rng(8)
+    a = jnp.asarray(rng.normal(size=(R, 16)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(16, 128)), jnp.float32)
+    mask_np = np.zeros((8, 128), np.float32)
+    mask_np[:, [5 * j for j in range(n_tris)]] = 1.0
+    mask = jnp.asarray(mask_np)
+    return marginal_ns(make, (a, g, mask)), n_tris
+
+
 def probe_vpu_mt(n_tris=25):
     """Baseline: n_tris sequential Möller–Trumbore broadcasts on (32,128)
     tiles — the production leaf phase's cost for the same test volume."""
@@ -244,6 +304,18 @@ def main():
             rows.append((label, None, None))
             print(f"{label}: FAILED — {type(e).__name__}: {str(e)[:200]}")
 
+    try:
+        comp_ns, comp_tris = probe_composite()
+        rows.append((f"composite MXU visit x{comp_tris} tris", comp_ns,
+                     comp_ns / comp_tris))
+        print(f"composite MXU visit x{comp_tris}: {comp_ns:8.0f} ns/visit  "
+              f"({comp_ns / comp_tris:5.1f} ns per tri-test/packet) "
+              f"vs VPU {mt_ns:.0f}")
+    except Exception as e:
+        rows.append(("composite", None, None))
+        print(f"composite MXU visit: FAILED — {type(e).__name__}: "
+              f"{str(e)[:200]}")
+
     for label, fn in {
         "relayout 16x(32,128)->(4096,16)": lambda: probe_relayout(16),
         "back-relayout (4096,128)->min->(32,128)": probe_back_relayout,
@@ -256,15 +328,16 @@ def main():
             rows.append((label, None, None))
             print(f"{label}: FAILED — {type(e).__name__}: {str(e)[:200]}")
 
-    # decision line (rule stated in the module docstring)
+    # decision line (rule stated in the module docstring) — the composite
+    # probe (everything a real visit pays) is the deciding number; the raw
+    # matmul shape probes attribute WHERE the time goes
     mt_row = rows[0]
-    mxu = next((r for r in rows if r[0].startswith("mxu 4096x16x128 f32")),
-               None)
+    comp = next((r for r in rows if r[0].startswith("composite")), None)
     relay = next((r for r in rows if r[0].startswith("relayout")), None)
-    if mxu and mxu[1] is not None:
+    if comp and comp[1] is not None:
         budget = 25 * (mt_row[1] / n_tris)
-        verdict = "BUILD" if mxu[1] < budget else "CLOSE (documented negative)"
-        print(f"# decision: matmul {mxu[1]:.0f} ns vs VPU budget "
+        verdict = "BUILD" if comp[1] < budget else "CLOSE (documented negative)"
+        print(f"# decision: composite visit {comp[1]:.0f} ns vs VPU budget "
               f"{budget:.0f} ns for 25 tris -> {verdict}"
               + (f"; relayout {relay[1]:.0f} ns/walk amortized"
                  if relay and relay[1] is not None else ""))

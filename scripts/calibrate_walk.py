@@ -157,7 +157,21 @@ def counting_walk(inner_ref, leaf_ref, stack_ref, leaf_k,
             return (lf + hit_leaf_l.astype(jnp.int32)
                     + hit_leaf_r.astype(jnp.int32), tt)
 
-        if variant != "leafless":
+        if variant == "+imp":
+            # count IMPROVING leaf visits (any ray's t tightened) vs total:
+            # the consensus-skip rate available to an MXU prefilter leaf
+            # phase (calibrate_mxu.py) — if most visits improve nothing, a
+            # cheap MXU test + conditional VPU attrs pass can skip them.
+            # Reuses the leafs counter sign convention: the probe reports
+            # leaf visits; here leafs counts only visits that improved.
+            t_before = t_best
+            _, (t_best, tri_best, nx, ny, nz, menc) = jax.lax.cond(
+                hit_leaf_l | hit_leaf_r, leaves, lambda tt: tt,
+                (leafs, (t_best, tri_best, nx, ny, nz, menc)),
+            )
+            improved = jnp.any(t_best < t_before)
+            leafs = leafs + improved.astype(jnp.int32)
+        elif variant != "leafless":
             leafs, (t_best, tri_best, nx, ny, nz, menc) = jax.lax.cond(
                 hit_leaf_l | hit_leaf_r, leaves, lambda tt: tt,
                 (leafs, (t_best, tri_best, nx, ny, nz, menc)),
@@ -336,7 +350,7 @@ def main():
     jobs = [("primary", primary_rays, "full")] + [
         ("bounce", bounce_rays, v)
         for v in ("full", "+red", "+slab", "+fetch", "+mt", "+div8",
-                  "leafless")
+                  "+imp", "leafless")
     ]
     records = []
     for label, rays, variant in jobs:
