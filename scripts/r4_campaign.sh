@@ -22,6 +22,10 @@ echo "=== stage 1: headline bench — capture FIRST ($(stamp)) ==="
 timeout 2400 python bench.py 2>&1 | tee results/r4/bench_early.txt
 save "early headline bench"
 
+echo "=== stage 1b: dated marginal-session sample (VERDICT r3 #5) ($(stamp)) ==="
+timeout 3000 python scripts/marginal_session.py 2>&1 | tail -2
+save "marginal session sample"
+
 echo "=== stage 2: split-bounce A/Bs (VERDICT r3 #2) ($(stamp)) ==="
 timeout 5400 python scripts/bench_ab.py pallas pallas+s3 pallas+s3o pallas+s2o 2>&1 | tee results/r4/ab_split1.txt
 save "split-bounce A/B wave 1"
@@ -57,6 +61,10 @@ save "parity divergence diagnosis"
 echo "=== stage 8: 1080p interactive re-record, pipelined (VERDICT r3 #7) ($(stamp)) ==="
 timeout 3600 python scripts/interactive_1080p.py 2>&1 | tee results/r4/interactive.txt
 save "pipelined 1080p interactive session"
+
+echo "=== stage 8b: second dated marginal-session sample ($(stamp)) ==="
+timeout 3000 python scripts/marginal_session.py 2>&1 | tail -2
+save "marginal session sample 2"
 
 echo "=== stage 9: closing headline bench ($(stamp)) ==="
 timeout 2400 python bench.py 2>&1 | tee results/r4/bench_late.txt
