@@ -192,10 +192,12 @@ def probe_composite(n_tris=25):
                 acc, tbest = carry
                 y = jnp.dot(a + acc * 1e-30, g,
                             preferred_element_type=jnp.float32)
-                y2 = pltpu.roll(y, -1, 1)
-                y3 = pltpu.roll(y, -2, 1)
-                den = pltpu.roll(y, -3, 1)
-                num = pltpu.roll(y, -4, 1)
+                # rotate-left by k == roll by (lanes - k); pltpu.roll
+                # requires a non-negative shift
+                y2 = pltpu.roll(y, 128 - 1, 1)
+                y3 = pltpu.roll(y, 128 - 2, 1)
+                den = pltpu.roll(y, 128 - 3, 1)
+                num = pltpu.roll(y, 128 - 4, 1)
                 e = jnp.float32(1e-7)
                 pos = (y >= -e) & (y2 >= -e) & (y3 >= -e)
                 neg = (y <= e) & (y2 <= e) & (y3 <= e)
