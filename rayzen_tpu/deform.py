@@ -166,7 +166,10 @@ def render_deforming(
     from .ops.pallas_traverse import STACK_DEPTH
 
     pop_n = _pick_pop_n(ws, cfg) if cfg.kernels != "xla" else 1
-    depth_ok = tree_depth <= (STACK_DEPTH - 2) // pop_n
+    # same occupancy bound _pick_pop_n enforces statically (ADVICE r4):
+    # pop_n * (depth + 1) <= STACK_DEPTH - 2, not depth <= (S-2)//pop_n,
+    # which admitted boundary depths one level past the kernel clamp's sizing
+    depth_ok = (tree_depth + 1) * pop_n <= STACK_DEPTH - 2
     jax.lax.cond(
         depth_ok,
         lambda: None,

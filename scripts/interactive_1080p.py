@@ -34,11 +34,17 @@ from rayzen_tpu.renderer import Renderer
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 setup_compile_cache(os.path.join(HERE, ".rayzen_cache", "xla"))
 
-W, H = 1920, 1080
+# env knobs so the full script path (both passes + doc write) is CPU-smokeable
+# before a chip window is spent on it (VERDICT r4 weak #3 / next #2)
+W = int(os.environ.get("ISESS_W", 1920))
+H = int(os.environ.get("ISESS_H", 1080))
+OUT_MD = os.environ.get(
+    "ISESS_OUT", os.path.join(HERE, "docs", "INTERACTIVE_1080p.md"))
 cfg = RenderConfig(
     width=W, height=H, spp=1, max_bounces=5,
     show_fps_overlay=True, debug_show_lights=True,
-    cache_dir=os.path.join(HERE, ".rayzen_cache"),
+    cache_dir=os.environ.get(
+        "ISESS_CACHE", os.path.join(HERE, ".rayzen_cache")),
 )
 scene = build_demo_scene(W, H)
 
@@ -83,7 +89,8 @@ pipe_ms = pipe_wall / max(n_pipe, 1) * 1e3
 
 # presentation cost (the PNG-refresh swap analog), measured separately
 t0 = time.perf_counter()
-png_path = os.path.join(HERE, "docs", "images", "interactive_1080p.png")
+png_path = os.path.join(
+    os.path.dirname(OUT_MD), "images", "interactive_1080p.png")
 os.makedirs(os.path.dirname(png_path), exist_ok=True)
 write_png(png_path, sess.frame)
 present_ms = (time.perf_counter() - t0) * 1e3
@@ -101,7 +108,7 @@ except Exception:
 lines = [
     "# Recorded interactive session — 1080p on TPU",
     "",
-    f"BASELINE config 5: interactive fly-through at 1920x1080, 1 spp, "
+    f"BASELINE config 5: interactive fly-through at {W}x{H}, 1 spp, "
     f"5 bounces, FPS + light overlays (BVH wireframes toggled mid-session), "
     f"demo scene, device: {dev}.",
     "",
@@ -133,7 +140,7 @@ lines.append("```")
 lines.append(status.getvalue().rstrip())
 lines.append("```")
 
-out_md = os.path.join(HERE, "docs", "INTERACTIVE_1080p.md")
+out_md = OUT_MD
 with open(out_md, "w") as f:
     f.write("\n".join(lines) + "\n")
 print(f"median {np.median(lat):.0f} ms/frame over {len(lat)} commands; "

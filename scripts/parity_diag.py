@@ -97,10 +97,19 @@ def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     out, raw = [], {}
 
-    for (w, h), gold_name in [((256, 192), "demo_256x192.npz"),
-                              ((800, 600), "demo_reference_800x600.npz")]:
-        golden = np.load(os.path.join(
-            HERE, "tests", "golden", gold_name))["image"].astype(np.float32)
+    # PARITY_SMOKE=1: tiny size, golden = the XLA render itself — exercises
+    # every code path (both renders, analysis, txt/npz writes) on CPU in
+    # minutes so the real run can't crash on the chip (VERDICT r4 next #2)
+    smoke = os.environ.get("PARITY_SMOKE") == "1"
+    cases = ([((64, 48), None)] if smoke else
+             [((256, 192), "demo_256x192.npz"),
+              ((800, 600), "demo_reference_800x600.npz")])
+    for (w, h), gold_name in cases:
+        if gold_name is None:
+            golden = render(w, h, "xla")
+        else:
+            golden = np.load(os.path.join(
+                HERE, "tests", "golden", gold_name))["image"].astype(np.float32)
         tpu_pallas = render(w, h, "pallas")
         d, s = analyze(f"{w}x{h} TPU-pallas vs CPU-golden",
                        tpu_pallas, golden, out)

@@ -1,0 +1,179 @@
+"""CPU smoke coverage for every r5-campaign stage script (VERDICT r4 next #2).
+
+Round 3 burned a chip window on a script that had never executed (the dryrun
+hang); round 4's new TPU scripts had zero CPU coverage (weak #3). These tests
+run each campaign script END TO END as a subprocess on the CPU backend with
+tiny shapes, so "the stage crashes on the chip for repo-side reasons" is a
+class of failure that cannot happen again. They assert on the scripts'
+*output contracts* (files written, decision lines printed), not numbers —
+CPU timings are meaningless.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(HERE, "scripts")
+
+
+def _env(**extra):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env.update(extra)
+    return env
+
+
+def _run(script, args=(), timeout=900, **envkw):
+    return subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, script), *args],
+        capture_output=True, text=True, cwd=HERE, timeout=timeout,
+        env=_env(**envkw),
+    )
+
+
+class TestAbContract:
+    """The bench_ab -> marginal_session output contract, both directions
+    through the REAL production code (format_result is what bench_ab prints;
+    parse_bench_ab_stdout is what marginal_session consumes)."""
+
+    def _mods(self):
+        sys.path.insert(0, SCRIPTS)
+        try:
+            import ab_contract
+            import marginal_session
+        finally:
+            sys.path.pop(0)
+        return ab_contract, marginal_session
+
+    def test_roundtrip(self):
+        ab, ms = self._mods()
+        out = ab.format_result("pallas", 47.123, 44.06, 2.0736)
+        got_ms, got_mrays, raw = ms.parse_bench_ab_stdout(out)
+        assert got_ms == pytest.approx(47.123, abs=1e-3)
+        assert got_mrays == pytest.approx(44.06, abs=1e-2)
+        assert raw.startswith("{")
+
+    def test_picks_requested_spec(self):
+        ab, ms = self._mods()
+        out = (ab.format_result("pallas+s3", 99.0, 1.0, 2.0) + "\n"
+               + ab.format_result("pallas", 47.0, 44.0, 2.07))
+        got_ms, got_mrays, _ = ms.parse_bench_ab_stdout(out, spec="pallas")
+        assert got_mrays == pytest.approx(44.0, abs=1e-2)
+
+    def test_legacy_human_line_fallback(self):
+        _, ms = self._mods()
+        legacy = ("pallas                  47.1 ms/sample    44.1 Mrays/s "
+                  "(marginal, 2.07 Mrays/sample)")
+        got_ms, got_mrays, _ = ms.parse_bench_ab_stdout(legacy)
+        assert got_ms == pytest.approx(47.1)
+        assert got_mrays == pytest.approx(44.1)
+
+    def test_garbage_yields_none(self):
+        _, ms = self._mods()
+        assert ms.parse_bench_ab_stdout("oops\nnothing here") == (None, None, "")
+
+
+class TestCalibrateMxuSmoke:
+    def test_interpret_mode_end_to_end(self):
+        r = _run("calibrate_mxu.py", ["2"], CAL_INTERPRET="1", CAL_R="256")
+        assert r.returncode == 0, r.stderr[-2000:]
+        # every probe family reported (value or explicit FAILED), and the
+        # pre-registered decision line fired
+        for token in ("vpu_mt", "mxu 4096x16x128 f32",
+                      "composite MXU visit", "relayout", "# decision:"):
+            assert token in r.stdout, (token, r.stdout[-3000:])
+
+    def test_decision_rule_states_build_or_close(self):
+        r = _run("calibrate_mxu.py", ["2"], CAL_INTERPRET="1", CAL_R="256")
+        assert ("-> BUILD" in r.stdout) or ("-> CLOSE" in r.stdout), \
+            r.stdout[-2000:]
+
+
+class TestParityDiagSmoke:
+    def test_end_to_end(self, tmp_path):
+        round_name = "smoketest"
+        out_dir = os.path.join(HERE, "results", round_name)
+        try:
+            r = _run("parity_diag.py", PARITY_SMOKE="1",
+                     RAYZEN_ROUND=round_name)
+            assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
+            txt = os.path.join(out_dir, "parity_diag.txt")
+            npz = os.path.join(out_dir, "parity_diag.npz")
+            assert os.path.exists(txt) and os.path.exists(npz)
+            body = open(txt).read()
+            assert "SSIM" in body and "attribution" in body
+            raw = np.load(npz)
+            assert any(k.startswith("diff_pallas") for k in raw.files)
+            # golden-vs-itself (xla vs xla) must be exactly zero diff —
+            # proves the diff plumbing measures what it claims
+            xla_keys = [k for k in raw.files if k.startswith("diff_xla")]
+            assert xla_keys and float(raw[xla_keys[0]].max()) == 0.0
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+
+class TestProgressiveSmoke:
+    def test_end_to_end(self, tmp_path):
+        out_md = str(tmp_path / "prog" / "PROGRESSIVE.md")
+        os.makedirs(os.path.dirname(out_md), exist_ok=True)
+        r = _run("progressive_1024.py", [out_md],
+                 PROG_W="64", PROG_H="48", PROG_SPP="2", PROG_TOTAL="8")
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
+        assert os.path.exists(out_md)
+        body = open(out_md).read()
+        assert "accumulated spp" in body and "| 8 |" in body
+        assert "doubling-ratio" in r.stdout
+
+
+class TestInteractiveScriptSmoke:
+    def test_end_to_end(self, tmp_path):
+        out_md = str(tmp_path / "isess" / "INTERACTIVE.md")
+        os.makedirs(os.path.dirname(out_md), exist_ok=True)
+        r = _run("interactive_1080p.py", timeout=1500,
+                 ISESS_W="96", ISESS_H="64", ISESS_OUT=out_md,
+                 ISESS_CACHE=str(tmp_path / "cache"))
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
+        body = open(out_md).read()
+        assert "PIPELINED session" in body
+        assert "| `click 960 540` |" in body  # full command mix ran
+        png = os.path.join(os.path.dirname(out_md), "images",
+                           "interactive_1080p.png")
+        assert os.path.exists(png)
+
+
+class TestMarginalSessionSmoke:
+    def test_appends_dated_record_from_stub_bench(self, tmp_path,
+                                                  monkeypatch):
+        """Run marginal_session.py against a stubbed bench_ab (instant) to
+        exercise the full subprocess -> parse -> jsonl-append path."""
+        # stage a fake repo layout: scripts/{marginal_session,ab_contract,
+        # bench_ab stub}
+        sdir = tmp_path / "scripts"
+        sdir.mkdir()
+        for f in ("marginal_session.py", "ab_contract.py"):
+            shutil.copy(os.path.join(SCRIPTS, f), sdir / f)
+        (sdir / "bench_ab.py").write_text(
+            "import sys\nsys.path.insert(0, "
+            "__file__.rsplit('/', 1)[0])\n"
+            "from ab_contract import format_result\n"
+            "print(format_result('pallas', 47.1, 44.06, 2.07))\n"
+        )
+        r = subprocess.run(
+            [sys.executable, str(sdir / "marginal_session.py")],
+            capture_output=True, text=True, timeout=120,
+            env=_env(RAYZEN_ROUND="rsmoke"), cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, (r.stdout, r.stderr)
+        out = tmp_path / "results" / "rsmoke" / "marginal_sessions.jsonl"
+        assert out.exists()
+        rec = json.loads(out.read_text().strip().splitlines()[-1])
+        assert rec["mrays_marginal"] == pytest.approx(44.06, abs=1e-2)
+        assert rec["ms_per_sample"] == pytest.approx(47.1, abs=1e-2)
+        assert rec["utc"].endswith("Z") and rec["rc"] == 0

@@ -259,6 +259,35 @@ class TestProfiler:
         s = p.summary(skip=1)
         assert "work" in s and "mrays_per_s" in s
 
+    def test_async_record_does_not_inherit_sync_phases(self):
+        """ADVICE r4: record() without phases (the PendingFrame.resolve async
+        path) must not carry the previous sync frame's phase timings."""
+        p = FrameProfiler()
+        p.begin_frame()
+        with p.phase("render"):
+            pass
+        p.end_frame()
+        rec = p.record(12.5)  # externally-timed async frame
+        assert "render" not in rec
+        assert rec["total"] == 12.5
+
+    def test_pipelined_fps_reflects_arrival_rate(self):
+        """ADVICE r4: with N frames in flight each resolve reports ~N-frame
+        latency; fps must come from the inter-resolve interval, not the
+        latency, or the pipelined rate is understated ~N-fold."""
+        import time as _time
+
+        p = FrameProfiler(fps_alpha=1.0)  # EMA == last frame
+        p.record(300.0)  # first: latency-derived (no prior interval)
+        assert p.fps_ema == pytest.approx(1000.0 / 300.0, rel=1e-6)
+        _time.sleep(0.02)
+        p.record(300.0)  # resolves ~20 ms apart at ~300 ms latency
+        assert p.fps_ema > 20.0  # ~50 fps arrival, NOT ~3.3 fps latency
+        # a synchronous slow frame (interval >= latency) stays latency-derived
+        _time.sleep(0.05)
+        p.record(40.0)
+        assert p.fps_ema == pytest.approx(25.0, rel=0.05)
+
 
 class TestCli:
     def test_cli_smoke(self, tmp_path, monkeypatch):
