@@ -11,6 +11,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -19,7 +20,8 @@ import numpy as np
 
 # Replay (chip-down fallback) is scoped to THIS round's results dir so a
 # number can never be misattributed across rounds (VERDICT r4 #9 / advisor).
-ROUND = "r5"
+# Env-overridable so tests can exercise the replay path against a staged dir.
+ROUND = os.environ.get("RAYZEN_ROUND", "r5")
 
 
 def _git_sha() -> str:
@@ -59,8 +61,12 @@ def probe_chip(timeout_s: float = 90.0):
         return False, f"backend init hang (>{timeout_s:.0f}s)"
 
 
-def wait_for_chip(attempts: int = 3, backoff_s: float = 120.0) -> bool:
+def wait_for_chip(attempts: int = None, backoff_s: float = None) -> bool:
     """Bounded retry-with-backoff on backend init (VERDICT r3 next #1b)."""
+    if attempts is None:
+        attempts = int(os.environ.get("RAYZEN_PROBE_ATTEMPTS", "3"))
+    if backoff_s is None:
+        backoff_s = float(os.environ.get("RAYZEN_PROBE_BACKOFF_S", "120"))
     for i in range(attempts):
         ok, detail = probe_chip()
         if ok:

@@ -6,6 +6,7 @@ contract consumed by scripts/marginal_session.py
 (tests/test_campaign_smoke.py pins it).
 """
 
+import os
 import sys
 import time
 
@@ -22,7 +23,10 @@ from rayzen_tpu.integrator import render_radiance_with_stats
 
 setup_compile_cache(".rayzen_cache/xla")
 
-W, H = 1920, 1080
+# RAYZEN_AB_* envs shrink the run for CPU smoke tests (defaults = the
+# on-chip measurement shape; tests/test_campaign_smoke.py pins the smoke).
+W = int(os.environ.get("RAYZEN_AB_W", "1920"))
+H = int(os.environ.get("RAYZEN_AB_H", "1080"))
 variants = sys.argv[1:] or ["pallas", "pallas-nomega"]
 
 scene = build_demo_scene(W, H)
@@ -107,7 +111,11 @@ for spec in variants:
     # each side takes its own min (contention only ever ADDS time, so the min
     # is the uncontended envelope — never difference single noisy pairs).
     lo, hi = (16, 64) if fuse <= 16 else (fuse, fuse * 4)
-    PIPE, REPS = 3, 4
+    if os.environ.get("RAYZEN_AB_LO"):
+        lo = int(os.environ["RAYZEN_AB_LO"])
+        hi = int(os.environ.get("RAYZEN_AB_HI", str(lo * 4)))
+    PIPE = int(os.environ.get("RAYZEN_AB_PIPE", "3"))
+    REPS = int(os.environ.get("RAYZEN_AB_REPS", "4"))
     fns = {}
     rays_per_sample = 0
     for spp in (lo, hi):

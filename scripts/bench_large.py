@@ -29,7 +29,11 @@ from rayzen_tpu.transforms import rotation, translation
 setup_compile_cache(".rayzen_cache/xla")
 
 N_INSTANCES = int(sys.argv[1]) if len(sys.argv) > 1 else 520  # x968 tris
-W, H, SPP = 1920, 1080, 4
+# RAYZEN_LARGE_* envs shrink the run for CPU smoke tests (defaults = the
+# on-chip measurement shape; tests/test_campaign_smoke.py pins the smoke).
+W = int(os.environ.get("RAYZEN_LARGE_W", "1920"))
+H = int(os.environ.get("RAYZEN_LARGE_H", "1080"))
+SPP = int(os.environ.get("RAYZEN_LARGE_SPP", "4"))
 
 mode_argv = sys.argv[2] if len(sys.argv) > 2 else "tiered"
 variant_argv = sys.argv[4] if len(sys.argv) > 4 else ""
@@ -180,7 +184,8 @@ else:
 from rayzen_tpu.image_io import ssim
 from rayzen_tpu.integrator import render_radiance
 
-GW, GH = 320, 180
+GW = int(os.environ.get("RAYZEN_LARGE_GATE_W", "320"))
+GH = int(os.environ.get("RAYZEN_LARGE_GATE_H", "180"))
 gate_scene = Scene(camera=Camera(
     position=scene.camera.position, target=scene.camera.target,
     aspect_ratio=GW / GH), materials=scene.materials, lights=scene.lights,
@@ -233,7 +238,7 @@ print(f"# compile+first: {time.perf_counter() - t0:.1f} s, {detail}",
       file=sys.stderr)
 
 best = float("inf")
-for _ in range(4):
+for _ in range(int(os.environ.get("RAYZEN_LARGE_REPS", "4"))):
     t0 = time.perf_counter()
     img, rays = fn(arrays_in, cam)
     np.asarray(img)

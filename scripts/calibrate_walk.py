@@ -52,6 +52,14 @@ JSON_PATH = None
 if "--json" in sys.argv:
     JSON_PATH = sys.argv[sys.argv.index("--json") + 1]
 
+# CPU smoke-test hooks (same convention as calibrate_mxu.py): CAL_INTERPRET=1
+# runs the Pallas probes in interpreter mode; CAL_PACKETS shrinks the ray
+# count; CAL_VARIANTS limits the probe list. Defaults = the on-chip run.
+INTERP = os.environ.get("CAL_INTERPRET") == "1"
+CAL_PACKETS = int(os.environ.get("CAL_PACKETS", "16"))
+CAL_VARIANTS = os.environ.get("CAL_VARIANTS", "").split(",") \
+    if os.environ.get("CAL_VARIANTS") else None
+
 
 def counting_walk(inner_ref, leaf_ref, stack_ref, leaf_k,
                   ox, oy, oz, dx, dy, dz, act, variant="full"):
@@ -247,6 +255,7 @@ def run_probe(ws, rays, reps, variant="full"):
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
+        interpret=INTERP,
     )
     jfn = jax.jit(lambda it, lt, *r: fn(it, lt, *r))
     args = (ws.inner_table, ws.leaf_table, *rays)
@@ -307,7 +316,7 @@ def main():
         lambda a: a if not hasattr(a, "block_until_ready") else a, ws)
 
     n_pack_rays = PACKET_ROWS * 128
-    N = 16 * n_pack_rays  # 16 packets
+    N = CAL_PACKETS * n_pack_rays  # default 16 packets
 
     rng = np.random.default_rng(7)
     # ---- bounce-style rays: origins on surfaces, random directions
@@ -352,6 +361,8 @@ def main():
         for v in ("full", "+red", "+slab", "+fetch", "+mt", "+div8",
                   "+imp", "leafless")
     ]
+    if CAL_VARIANTS is not None:
+        jobs = [j for j in jobs if j[2] in CAL_VARIANTS]
     records = []
     for label, rays, variant in jobs:
         t1, it1, lf1 = run_probe(ws, rays, 1, variant)
@@ -366,12 +377,14 @@ def main():
               f"(walk {d_t / (REPS_HI - 1) / packs * 1e6:7.1f} us/packet)")
         records.append({
             "load": label, "variant": variant,
-            "iters_per_packet": round(it1 / packs, 1),
-            "tree_fraction_pct": round(it1 / packs / n_inner * 100, 1),
-            "leaf_visits_per_packet": round(lf1 / packs, 1),
-            "ns_per_iter": round(d_t / d_iters * 1e9, 1),
+            # float() casts: it1/lf1 are numpy scalars, which round() keeps
+            # as np.float32 — not JSON serializable (caught by the CPU smoke)
+            "iters_per_packet": round(float(it1) / packs, 1),
+            "tree_fraction_pct": round(float(it1) / packs / n_inner * 100, 1),
+            "leaf_visits_per_packet": round(float(lf1) / packs, 1),
+            "ns_per_iter": round(float(d_t / d_iters) * 1e9, 1),
             "us_per_packet_walk": round(
-                d_t / (REPS_HI - 1) / packs * 1e6, 1),
+                float(d_t) / (REPS_HI - 1) / packs * 1e6, 1),
         })
     if JSON_PATH:
         payload = {

@@ -177,3 +177,108 @@ class TestMarginalSessionSmoke:
         assert rec["mrays_marginal"] == pytest.approx(44.06, abs=1e-2)
         assert rec["ms_per_sample"] == pytest.approx(47.1, abs=1e-2)
         assert rec["utc"].endswith("Z") and rec["rc"] == 0
+
+
+class TestBenchAbSmoke:
+    def test_end_to_end_tiny(self, tmp_path):
+        """bench_ab.py itself (not just its output contract) runs end to end
+        on CPU at smoke shape and emits a JSON line the marginal-session
+        parser accepts — the ab_split1/2 campaign stages' crash class."""
+        r = _run("bench_ab.py", ["pallas:2"], timeout=1200,
+                 RAYZEN_AB_W="64", RAYZEN_AB_H="36", RAYZEN_AB_LO="1",
+                 RAYZEN_AB_HI="2", RAYZEN_AB_PIPE="1", RAYZEN_AB_REPS="1")
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
+        ab, ms = TestAbContract._mods(None)
+        got_ms, got_mrays, _ = ms.parse_bench_ab_stdout(r.stdout,
+                                                        spec="pallas:2")
+        assert got_ms is not None and got_mrays is not None, r.stdout[-800:]
+
+    def test_split_spec_parses_and_runs(self, tmp_path):
+        """One split-bounce spec through the real script — the exact variant
+        class ab_split1 measures (s-spec parsing + continuation kernels)."""
+        r = _run("bench_ab.py", ["pallas:2+s1o"], timeout=1200,
+                 RAYZEN_AB_W="64", RAYZEN_AB_H="36", RAYZEN_AB_LO="1",
+                 RAYZEN_AB_HI="2", RAYZEN_AB_PIPE="1", RAYZEN_AB_REPS="1")
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
+        assert '"spec": "pallas:2+s1o"' in r.stdout, r.stdout[-800:]
+
+
+class TestBenchLargeSmoke:
+    def test_tiered_end_to_end_tiny(self, tmp_path):
+        """bench_large.py (large_base/s1oe/s1o stages) at 4 instances /
+        smoke resolution: scene synth, SSIM gate vs the XLA oracle, tiered
+        pack, timing loop, final Mrays stdout contract."""
+        r = subprocess.run(
+            [sys.executable, os.path.join(SCRIPTS, "bench_large.py"),
+             "4", "tiered", "64", ""],
+            capture_output=True, text=True, cwd=str(tmp_path), timeout=1200,
+            env=_env(RAYZEN_LARGE_W="64", RAYZEN_LARGE_H="36",
+                     RAYZEN_LARGE_SPP="1", RAYZEN_LARGE_GATE_W="64",
+                     RAYZEN_LARGE_GATE_H="36", RAYZEN_LARGE_REPS="1",
+                     RAYZEN_TREE_BUDGET_MB="40"),
+        )
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
+        assert "correctness gate" in r.stderr
+        # stdout contract: final line is the bare Mrays float
+        float(r.stdout.strip().splitlines()[-1])
+
+
+class TestCalibrateWalkSmoke:
+    def test_interpret_mode_end_to_end(self, tmp_path):
+        """calibrate_walk.py (calibrate_walk stage) in interpreter mode:
+        counted probes run, the JSON artifact lands with the probe schema."""
+        jpath = str(tmp_path / "calibration.json")
+        r = _run("calibrate_walk.py", ["2", "--json", jpath], timeout=1200,
+                 CAL_INTERPRET="1", CAL_PACKETS="1",
+                 CAL_VARIANTS="full,leafless")
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
+        payload = json.loads(open(jpath).read())
+        assert payload["probes"], payload
+        rec = payload["probes"][0]
+        for key in ("load", "variant", "iters_per_packet", "ns_per_iter",
+                    "leaf_visits_per_packet"):
+            assert key in rec, rec
+
+
+class TestBenchReplaySmoke:
+    """bench.py's chip-down path (what actually runs when the tunnel flaps
+    mid-campaign): bounded probe -> round-scoped replay with embedded
+    provenance, or rc=1 when there is nothing in-round to replay."""
+
+    def _stage(self, tmp_path):
+        shutil.copy(os.path.join(HERE, "bench.py"), tmp_path / "bench.py")
+        return tmp_path / "bench.py"
+
+    def _run_bench(self, bench, tmp_path):
+        return subprocess.run(
+            [sys.executable, str(bench)], capture_output=True, text=True,
+            timeout=300, cwd=str(tmp_path),
+            env=_env(RAYZEN_ROUND="rsmoke", RAYZEN_PROBE_ATTEMPTS="1"),
+        )
+
+    def test_replays_in_round_capture_with_provenance(self, tmp_path):
+        bench = self._stage(tmp_path)
+        rdir = tmp_path / "results" / "rsmoke"
+        rdir.mkdir(parents=True)
+        (rdir / "bench_1.txt").write_text(
+            '# noise\n{"metric": "mrays_per_s", "value": 113.49, '
+            '"unit": "Mrays/s", "vs_baseline": 0.57, "sha": "abc1234"}\n'
+        )
+        r = self._run_bench(bench, tmp_path)
+        assert r.returncode == 0, (r.stdout, r.stderr[-1500:])
+        rec = json.loads(r.stdout.strip().splitlines()[-1])
+        assert rec["value"] == pytest.approx(113.49)
+        assert rec["replayed_from"].endswith("bench_1.txt")
+        assert rec["sha"] == "abc1234" and "captured_utc" in rec
+
+    def test_other_round_capture_is_not_replayed(self, tmp_path):
+        bench = self._stage(tmp_path)
+        other = tmp_path / "results" / "r4"
+        other.mkdir(parents=True)
+        (other / "bench_1.txt").write_text(
+            '{"metric": "mrays_per_s", "value": 999.0, "unit": "Mrays/s", '
+            '"vs_baseline": 5.0}\n'
+        )
+        r = self._run_bench(bench, tmp_path)
+        assert r.returncode == 1, (r.stdout, r.stderr[-1500:])
+        assert "999" not in r.stdout
