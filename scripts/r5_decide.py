@@ -128,6 +128,26 @@ def rule_marginal():
     return "\n".join(lines)
 
 
+def rule_fuse():
+    t = read("ab_fuse.txt")
+    if not t:
+        return "sample_fuse: no data yet (post-campaign stage, scripts/r5_post.sh)"
+    by = {}
+    for r in ab_records(t):
+        by.setdefault(r["spec"], []).append(r["ms_per_sample"])
+    if "pallas" not in by or "pallas+f2" not in by:
+        return "sample_fuse: incomplete A/B (need both pallas and pallas+f2 records)"
+    base, fuse = min(by["pallas"]), min(by["pallas+f2"])
+    rel = (fuse - base) / base
+    lines = [f"sample_fuse: baseline {base:.1f} ms/sample (n={len(by['pallas'])}), "
+             f"fuse=2 {fuse:.1f} (n={len(by['pallas+f2'])}), {rel * 100:+.1f}%"]
+    if rel < -DRIFT_FRAC:
+        lines.append("  -> DECISION: adopt sample_fuse=2 as default, re-run bench.py")
+    else:
+        lines.append("  -> DECISION: inside drift; retire the round-3 44-vs-48 as drift, stays 1")
+    return "\n".join(lines)
+
+
 def rule_interactive():
     t = read("interactive.txt")
     if not t:
@@ -138,6 +158,7 @@ def rule_interactive():
         "\n".join("  " + ln for ln in keep[-12:])
 
 
-for fn in (rule_split_bounce, rule_mxu, rule_large, rule_marginal, rule_interactive):
+for fn in (rule_split_bounce, rule_mxu, rule_large, rule_marginal, rule_fuse,
+           rule_interactive):
     print(fn())
     print()
