@@ -213,7 +213,11 @@ def main() -> int:
         return 1
 
     width, height = 1920, 1080
-    spp = 64  # samples accumulate on device in one dispatch (lax.fori_loop),
+    # Per-dispatch spp is env-overridable for the pre-registered r5 post-
+    # campaign amortization A/B (docs/PERFORMANCE.md); default stays 64
+    # unless that rule adopts a new value.
+    spp = int(os.environ.get("RAYZEN_BENCH_SPP", "64"))
+    # samples accumulate on device in one dispatch (lax.fori_loop),
     # so per-dispatch transport overhead (~0.6 s fixed on the tunneled v5e
     # transport, measured) amortizes — this measures sustained render
     # throughput, the number that matters for progressive/offline rendering.
@@ -284,6 +288,7 @@ def main() -> int:
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / baseline, 4),
+                "spp": spp,
                 "sha": _git_sha(),
                 "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }

@@ -148,6 +148,33 @@ def rule_fuse():
     return "\n".join(lines)
 
 
+def rule_spp():
+    t = read("ab_spp.txt")
+    if not t:
+        return "bench spp: no data yet (post-campaign stage, scripts/r5_post.sh)"
+    by = {}
+    for line in t.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "spp" in r and "value" in r:
+                by.setdefault(int(r["spp"]), []).append(float(r["value"]))
+    if 64 not in by or 128 not in by:
+        return "bench spp: incomplete A/B (need records at both 64 and 128 spp)"
+    b64, b128 = max(by[64]), max(by[128])
+    rel = (b128 - b64) / b64
+    lines = [f"bench spp: 64spp best {b64:.1f} Mrays/s (n={len(by[64])}), "
+             f"128spp best {b128:.1f} (n={len(by[128])}), {rel * 100:+.1f}%"]
+    if rel > DRIFT_FRAC:
+        lines.append("  -> DECISION: adopt RAYZEN_BENCH_SPP default 128 in bench.py")
+    else:
+        lines.append("  -> DECISION: inside drift or worse; per-dispatch spp stays 64")
+    return "\n".join(lines)
+
+
 def rule_interactive():
     t = read("interactive.txt")
     if not t:
@@ -159,6 +186,6 @@ def rule_interactive():
 
 
 for fn in (rule_split_bounce, rule_mxu, rule_large, rule_marginal, rule_fuse,
-           rule_interactive):
+           rule_spp, rule_interactive):
     print(fn())
     print()

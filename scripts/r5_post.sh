@@ -39,4 +39,10 @@ run_stage() {
 # adopt fuse=2 iff min over its records beats baseline min by >5%).
 run_stage ab_fuse 5400 env RAYZEN_AB_REPS=6 python scripts/bench_ab.py pallas pallas+f2 pallas pallas+f2
 
-echo "=== post-campaign stages done ($(stamp)); apply the fuse rule via scripts/r5_decide.py ==="
+# Per-dispatch spp amortization A/B (pre-registered in docs/PERFORMANCE.md
+# BEFORE measuring): interleaved 64/128/64/128 full bench runs; rule applies
+# to the best-window Mrays of each side's JSON records (r5_decide rule_spp).
+run_stage ab_spp 5400 bash -c \
+  'for s in 64 128 64 128; do RAYZEN_BENCH_SPP=$s python bench.py || exit 1; done'
+
+echo "=== post-campaign stages done ($(stamp)); apply the rules via scripts/r5_decide.py ==="

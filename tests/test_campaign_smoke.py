@@ -282,3 +282,59 @@ class TestBenchReplaySmoke:
         r = self._run_bench(bench, tmp_path)
         assert r.returncode == 1, (r.stdout, r.stderr[-1500:])
         assert "999" not in r.stdout
+
+
+class TestDecideRules:
+    """scripts/r5_decide.py must parse the post-campaign stage outputs it
+    will be pointed at — contract-tested here with canned records so a
+    format drift can never silently yield 'no data' on the chip."""
+
+    def _decide(self, results_dir):
+        return subprocess.run(
+            [sys.executable, os.path.join(SCRIPTS, "r5_decide.py"),
+             str(results_dir)],
+            capture_output=True, text=True, timeout=120, cwd=HERE,
+        )
+
+    def test_spp_rule_adopts_on_big_win(self, tmp_path):
+        recs = [
+            {"metric": "m", "value": 100.0, "unit": "Mrays/s",
+             "vs_baseline": 0.5, "spp": 64, "sha": "x"},
+            {"metric": "m", "value": 120.0, "unit": "Mrays/s",
+             "vs_baseline": 0.6, "spp": 128, "sha": "x"},
+            {"metric": "m", "value": 98.0, "unit": "Mrays/s",
+             "vs_baseline": 0.49, "spp": 64, "sha": "x"},
+            {"metric": "m", "value": 115.0, "unit": "Mrays/s",
+             "vs_baseline": 0.57, "spp": 128, "sha": "x"},
+        ]
+        (tmp_path / "ab_spp.txt").write_text(
+            "# noise line\n" + "\n".join(json.dumps(r) for r in recs) + "\n")
+        r = self._decide(tmp_path)
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert "adopt RAYZEN_BENCH_SPP default 128" in r.stdout
+
+    def test_spp_rule_holds_inside_drift(self, tmp_path):
+        recs = [
+            {"metric": "m", "value": 100.0, "unit": "Mrays/s",
+             "vs_baseline": 0.5, "spp": 64, "sha": "x"},
+            {"metric": "m", "value": 103.0, "unit": "Mrays/s",
+             "vs_baseline": 0.51, "spp": 128, "sha": "x"},
+        ]
+        (tmp_path / "ab_spp.txt").write_text(
+            "\n".join(json.dumps(r) for r in recs) + "\n")
+        r = self._decide(tmp_path)
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert "stays 64" in r.stdout
+
+    def test_fuse_rule_parses_ab_records(self, tmp_path):
+        sys.path.insert(0, SCRIPTS)
+        try:
+            import ab_contract
+        finally:
+            sys.path.pop(0)
+        lines = [ab_contract.format_result("pallas", 48.0, 114.0, 5.48),
+                 ab_contract.format_result("pallas+f2", 43.0, 127.0, 5.48)]
+        (tmp_path / "ab_fuse.txt").write_text("\n".join(lines) + "\n")
+        r = self._decide(tmp_path)
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert "adopt sample_fuse=2" in r.stdout
