@@ -174,9 +174,9 @@ def main() -> int:
     gate_ssim = ssim(gate_img, golden)
     print(f"# correctness gate: SSIM {gate_ssim:.4f} vs CPU golden (256x192)",
           file=sys.stderr)
-    if gate_ssim < 0.98:
+    if gate_ssim < 0.995:  # tightened from 0.98 per the measured divergence budget (docs/PARITY.md)
         print(
-            f"BENCH REFUSED: on-TPU render SSIM {gate_ssim:.4f} < 0.98 vs "
+            f"BENCH REFUSED: on-TPU render SSIM {gate_ssim:.4f} < 0.995 vs "
             "tests/golden/demo_256x192.npz — fix correctness first",
             file=sys.stderr,
         )
@@ -204,9 +204,9 @@ def main() -> int:
     a_ssim = ssim(a_img, anchor)
     print(f"# correctness gate: SSIM {a_ssim:.4f} vs CPU golden (800x600)",
           file=sys.stderr)
-    if a_ssim < 0.98:
+    if a_ssim < 0.995:
         print(
-            f"BENCH REFUSED: on-TPU render SSIM {a_ssim:.4f} < 0.98 vs "
+            f"BENCH REFUSED: on-TPU render SSIM {a_ssim:.4f} < 0.995 vs "
             "tests/golden/demo_reference_800x600.npz — fix correctness first",
             file=sys.stderr,
         )
