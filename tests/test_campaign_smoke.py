@@ -338,3 +338,16 @@ class TestDecideRules:
         r = self._decide(tmp_path)
         assert r.returncode == 0, r.stderr[-1500:]
         assert "adopt sample_fuse=2" in r.stdout
+
+
+class TestTransportProbeSmoke:
+    def test_end_to_end_tiny(self):
+        r = _run("transport_probe.py", TP_W="96", TP_H="64", TP_N="2")
+        assert r.returncode == 0, r.stderr[-2000:]
+        rec = json.loads(
+            [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+        assert rec["probe"] == "transport_camera_uploads"
+        for key in ("ms_identical_inflight", "ms_freshhost_inflight",
+                    "ms_freshhost_sync", "ms_distinctdev_inflight"):
+            assert rec[key] > 0
+        assert "# interpretation" in r.stdout
