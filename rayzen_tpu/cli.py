@@ -65,6 +65,12 @@ def parse_args(argv=None) -> argparse.Namespace:
         "toggle preview/lights/BVH overlays, click picks — each command "
         "re-renders --out (see rayzen_tpu/interactive.py for the protocol)",
     )
+    p.add_argument(
+        "--pipeline", type=int, default=1, metavar="N",
+        help="with --interactive: keep up to N frames in flight (async "
+        "dispatch; the reference's GL driver queues frames ahead the same "
+        "way, main.cpp:637-654). 1 = strictly synchronous",
+    )
     return p.parse_args(argv)
 
 
@@ -108,7 +114,7 @@ def main(argv=None) -> int:
         from .interactive import InteractiveSession
 
         session = InteractiveSession(renderer, out_path=args.out)
-        frames = session.run()
+        frames = session.run(pipeline=max(1, args.pipeline))
         renderer.close()
         log.info(f"Interactive session ended after {frames} frame(s)")
         return 0

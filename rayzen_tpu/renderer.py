@@ -427,10 +427,10 @@ class Renderer:
                     )
                 img = self._accum
         self.frame_index += 1
-        # overlays are host-side numpy (overlay.py) — forcing them here would
-        # sync; PendingFrame applies them to the resolved frame instead, with
-        # the cfg/arrays snapshot from dispatch time (toggles may change while
-        # the frame is in flight)
+        # overlays are deferred to PendingFrame.resolve(), which composites
+        # them on the device array just before its readback, using the
+        # cfg/arrays snapshot from dispatch time (toggles may change while
+        # the frame is in flight) but the freshest fps_ema
         return PendingFrame(self, img, rays_arr, cam, cfg, self.arrays, t0)
 
     def warmup(self, frames: int) -> None:
@@ -476,16 +476,22 @@ class PendingFrame:
         self.frame_no = renderer.frame_index - 1
 
     def resolve(self) -> np.ndarray:
-        out = np.asarray(self._img)  # the sync point
-        rays = int(self._rays) if self._rays is not None else 0
+        # overlays composite on the DEVICE array before the single readback,
+        # exactly like the sync path: apply_overlays is jnp-based, so calling
+        # it on an already-read-back numpy frame re-uploads the frame, runs
+        # eager device ops, and reads back a second time — on the tunneled
+        # transport that cost ~+1.7 s/frame and made the pipelined session
+        # measure SLOWER than sync (round-5 sessions + transport_probe.py,
+        # which cleared the dispatch pattern itself of blame).
+        img = self._img
         cfg = self._cfg
         if cfg.debug_show_bvh or cfg.debug_show_lights or cfg.show_fps_overlay:
-            out = np.asarray(
-                apply_overlays(
-                    out, self._arrays, self._cam, cfg,
-                    fps=self._r.profiler.fps_ema or 0.0,
-                )
+            img = apply_overlays(
+                img, self._arrays, self._cam, cfg,
+                fps=self._r.profiler.fps_ema or 0.0,
             )
+        out = np.asarray(img)  # the sync point
+        rays = int(self._rays) if self._rays is not None else 0
         self._r.profiler.record(
             (time.perf_counter() - self._t0) * 1e3, rays_traced=rays
         )
