@@ -397,8 +397,19 @@ class Renderer:
         device (and the tunneled transport's staging) busy while the host
         moves on — the frames-in-flight steady state bench.py measures,
         applied to the live session loop (VERDICT r3 #7). The returned
-        PendingFrame's ``resolve()`` is the sync point (readback + host
-        overlays + profiler record).
+        PendingFrame's ``resolve()`` is the sync point (readback + profiler
+        record).
+
+        Overlays composite HERE, at dispatch time, not in resolve(): the
+        device stream executes in program order, so device ops enqueued at
+        resolve time for frame i would queue behind the already-dispatched
+        frames i+1..i+K — measured at ~K-frame resolve latency (4.6 s at
+        pipeline=3, results/r5/interactive_3.txt) that throttled the whole
+        pipelined loop below the synchronous rate. Enqueued with their own
+        frame, they add only the eager-op dispatch cost the sync path pays
+        anyway, and resolve() is a pure readback. The fps overlay value is
+        the EMA as of dispatch (one frame staler than resolve-time; the
+        reference's overlay is similarly one frame behind, main.cpp:624-630).
 
         Reference identity: the GLFW loop's implicit pipelining — the driver
         queues frames ahead of vsync (main.cpp:637-654)."""
@@ -427,11 +438,19 @@ class Renderer:
                     )
                 img = self._accum
         self.frame_index += 1
-        # overlays are deferred to PendingFrame.resolve(), which composites
-        # them on the device array just before its readback, using the
-        # cfg/arrays snapshot from dispatch time (toggles may change while
-        # the frame is in flight) but the freshest fps_ema
-        return PendingFrame(self, img, rays_arr, cam, cfg, self.arrays, t0)
+        if cfg.debug_show_bvh or cfg.debug_show_lights or cfg.show_fps_overlay:
+            if cfg.debug_show_bvh and self.arrays_list is not None and not getattr(
+                self, "_warned_chunk_overlay", False
+            ):
+                log.info(
+                    "debug_show_bvh on a chunked scene draws chunk 0's "
+                    f"tree only ({len(self.arrays_list)} chunks)"
+                )
+                self._warned_chunk_overlay = True
+            img = apply_overlays(
+                img, self.arrays, cam, cfg, fps=self.profiler.fps_ema or 0.0
+            )
+        return PendingFrame(self, img, rays_arr, t0)
 
     def warmup(self, frames: int) -> None:
         """Pre-warm compile + execution without readback (runPathTracerWarmup,
@@ -460,37 +479,24 @@ class Renderer:
 class PendingFrame:
     """A dispatched-but-unsynced frame from Renderer.render_frame_async.
 
-    Holds device-array handles plus the dispatch-time cfg/arrays snapshot;
-    ``resolve()`` syncs (the np.asarray readback), applies host-side overlays,
-    records the dispatch->resolve wall in the profiler, and returns the
-    (H, W, 3) float32 frame."""
+    Holds the fully-composited device-array handle (overlays were enqueued at
+    dispatch time — see render_frame_async); ``resolve()`` syncs (the
+    np.asarray readback), records the dispatch->resolve wall in the profiler,
+    and returns the (H, W, 3) float32 frame. Device work is deliberately
+    never enqueued here: with K frames in flight, resolve-time device ops for
+    frame i would execute after frames i+1..i+K on the in-order stream,
+    inflating per-frame latency to ~K frames (the round-5 pipelined anomaly,
+    results/r5/interactive_3.txt)."""
 
-    def __init__(self, renderer, img, rays_arr, cam, cfg, arrays, t0):
+    def __init__(self, renderer, img, rays_arr, t0):
         self._r = renderer
         self._img = img
         self._rays = rays_arr
-        self._cam = cam
-        self._cfg = cfg
-        self._arrays = arrays
         self._t0 = t0
         self.frame_no = renderer.frame_index - 1
 
     def resolve(self) -> np.ndarray:
-        # overlays composite on the DEVICE array before the single readback,
-        # exactly like the sync path: apply_overlays is jnp-based, so calling
-        # it on an already-read-back numpy frame re-uploads the frame, runs
-        # eager device ops, and reads back a second time — on the tunneled
-        # transport that cost ~+1.7 s/frame and made the pipelined session
-        # measure SLOWER than sync (round-5 sessions + transport_probe.py,
-        # which cleared the dispatch pattern itself of blame).
-        img = self._img
-        cfg = self._cfg
-        if cfg.debug_show_bvh or cfg.debug_show_lights or cfg.show_fps_overlay:
-            img = apply_overlays(
-                img, self._arrays, self._cam, cfg,
-                fps=self._r.profiler.fps_ema or 0.0,
-            )
-        out = np.asarray(img)  # the sync point
+        out = np.asarray(self._img)  # the sync point; pure readback
         rays = int(self._rays) if self._rays is not None else 0
         self._r.profiler.record(
             (time.perf_counter() - self._t0) * 1e3, rays_traced=rays
