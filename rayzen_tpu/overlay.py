@@ -297,3 +297,161 @@ def apply_overlays(
         color = fps_pass(color, frag, fps, (width, height))
 
     return jnp.clip(color, 0.0, 1.0).reshape(height, width, 3)
+
+
+# ---------------------------------------------------------------------------
+# Single-dispatch composite.
+#
+# apply_overlays above issues ~25 eager device ops per frame; on the tunneled
+# TPU transport every op dispatch pays a fixed staging cost, and that serial
+# wire time — not device compute — was the measured floor of the pipelined
+# interactive loop (results/r5/interactive_4.txt: resolve latency ~3 frames
+# with dispatch-time eager overlays). composite_core is the same math as one
+# traced function: the Renderer jits it once per (toggle-combo, resolution,
+# box-count) and each frame's overlays become ONE dispatch. Branch boxes are
+# padded to a fixed width with a validity mask so click-picks change operands,
+# never shapes (no recompile per pick). apply_overlays stays as the eager
+# reference implementation; test_runtime pins the two paths equal.
+
+
+def _masked_wireframe_scan(frag, corners, colors, mask, vp, res, thickness):
+    """_wireframe_scan with a per-box validity mask (padded slots draw
+    nothing); same sequential mix/max accumulation (glsl:318-344)."""
+
+    def one_box(carry, box):
+        wire, color = carry
+        c, bcol, m = box  # (8, 3), (3,), ()
+        hom = jnp.concatenate([c, jnp.ones((8, 1), jnp.float32)], axis=1)
+        clip = hom @ vp.T
+        w = clip[:, 3]
+        screen = (clip[:, :2] / w[:, None] * 0.5 + 0.5) * res
+        a = screen[_EDGES[:, 0]]
+        b = screen[_EDGES[:, 1]]
+        seg_ok = (w[_EDGES[:, 0]] > 0.0) & (w[_EDGES[:, 1]] > 0.0)
+        ab = b - a
+        denom = jnp.maximum(jnp.sum(ab * ab, axis=1), 1e-12)
+        pa = frag[:, None, :] - a[None, :, :]
+        t = jnp.clip(jnp.sum(pa * ab[None], axis=-1) / denom[None], 0.0, 1.0)
+        proj = a[None] + t[..., None] * ab[None]
+        d = jnp.linalg.norm(frag[:, None, :] - proj, axis=-1)
+        d = jnp.where(seg_ok[None], d, 1e6)
+        hit = (jnp.min(d, axis=1) < thickness).astype(jnp.float32) * m
+        color = color * (1.0 - hit[:, None]) + bcol[None] * hit[:, None]
+        wire = jnp.maximum(wire, hit)
+        return (wire, color), None
+
+    wire0 = frag[:, 0] * 0.0
+    color0 = jnp.zeros((frag.shape[0], 3), dtype=jnp.float32)
+    (wire, color), _ = jax.lax.scan(
+        one_box, (wire0, color0), (corners, colors, mask)
+    )
+    return wire, color
+
+
+def _lights_scan(color, frag, lights, vp, res):
+    """light_markers_pass as a traced scan: the point-light filter
+    (positionOrDirection.w == 1, glsl:783) becomes a traced gate so the light
+    array is an operand, not trace-time data."""
+
+    def step(color, lrow):
+        posdir = lrow[:4]
+        lcol = lrow[4:7]
+        clip = vp @ jnp.concatenate([posdir[:3], jnp.ones(1, jnp.float32)])
+        w = clip[3]
+        screen = (clip[:2] / w * 0.5 + 0.5) * res
+        dist = jnp.linalg.norm(frag - screen[None], axis=1)
+        t = jnp.clip((8.0 - dist) / 2.0, 0.0, 1.0)
+        alpha = t * t * (3.0 - 2.0 * t)
+        alpha = jnp.where((w > 0.0) & (posdir[3] == 1.0), alpha, 0.0)
+        return color * (1.0 - alpha[:, None]) + lcol[None] * alpha[:, None], None
+
+    color, _ = jax.lax.scan(step, color, lights)
+    return color
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "use_t", "use_b", "show_lights", "show_fps", "width", "height",
+    ),
+)
+def composite_core(
+    image,
+    t_corners, t_colors, t_mask,
+    b_corners, b_colors, b_mask,
+    vp, lights, fps,
+    *, use_t, use_b, show_lights, show_fps, width, height,
+):
+    """All configured overlays in one traced computation, in the reference's
+    order (wireframes 50% blend glsl:776-779, then light markers, then FPS).
+    Statically-off passes are skipped at trace time; their operands are tiny
+    dummies."""
+    from .ops.camera_rays import pixel_grid
+
+    frag, _ = pixel_grid(width, height)
+    res = jnp.asarray([width, height], jnp.float32)
+    color = image.reshape(-1, 3)
+    if use_t:
+        t_wire, t_col = _masked_wireframe_scan(
+            frag, t_corners, t_colors, t_mask, vp, res, 1.5)
+        color = color * (1.0 - 0.5 * t_wire[:, None]) + t_col * (0.5 * t_wire[:, None])
+    if use_b:
+        b_wire, b_col = _masked_wireframe_scan(
+            frag, b_corners, b_colors, b_mask, vp, res, 2.0)
+        color = color * (1.0 - 0.5 * b_wire[:, None]) + b_col * (0.5 * b_wire[:, None])
+    if show_lights:
+        color = _lights_scan(color, frag, lights, vp, res)
+    if show_fps:
+        color = fps_pass(color, frag, fps, (width, height))
+    return jnp.clip(color, 0.0, 1.0).reshape(height, width, 3)
+
+
+_BRANCH_PAD = 64  # fixed branch-box width: the traversal stack bound (glsl:422)
+_DUMMY_BOXES = None
+
+
+def _dummy_boxes():
+    global _DUMMY_BOXES
+    if _DUMMY_BOXES is None:
+        _DUMMY_BOXES = (
+            jnp.zeros((1, 8, 3), jnp.float32),
+            jnp.zeros((1, 3), jnp.float32),
+            jnp.zeros((1,), jnp.float32),
+        )
+    return _DUMMY_BOXES
+
+
+def build_overlay_inputs(arrays: SceneArrays, cfg):
+    """Host-side box precompute for composite_core, shaped for zero-recompile
+    frames: mode-0 counts are static per scene; mode-1 branch boxes pad to
+    _BRANCH_PAD with a mask so every pick reuses one compiled composite.
+    Returns ((t_corners, t_colors, t_mask, use_t), (b_...)) with device-
+    resident arrays (uploaded once, reused every frame)."""
+
+    def pack(boxes, colors, pad=None):
+        n = len(boxes)
+        if n == 0:
+            return (*_dummy_boxes(), False)
+        width = pad if pad is not None else n
+        c = np.zeros((width, 8, 3), np.float32)
+        col = np.zeros((width, 3), np.float32)
+        m = np.zeros((width,), np.float32)
+        c[:n] = np.stack(boxes)
+        col[:n] = np.stack(colors)
+        m[:n] = 1.0
+        return jnp.asarray(c), jnp.asarray(col), jnp.asarray(m), True
+
+    if not cfg.debug_show_bvh:
+        return (*_dummy_boxes(), False), (*_dummy_boxes(), False)
+    if cfg.debug_bvh_mode == 0:
+        t = pack(*tlas_leaf_boxes(arrays))
+        b = pack(*blas_root_boxes(arrays))
+    else:
+        t = (*_dummy_boxes(), False)
+        b = pack(
+            *blas_branch_boxes(
+                arrays, cfg.debug_selected_blas, cfg.debug_selected_tri
+            ),
+            pad=_BRANCH_PAD,
+        )
+    return t, b

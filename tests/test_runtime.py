@@ -187,6 +187,40 @@ class TestOverlays:
         assert out.shape == (24, 32, 3)
         assert np.abs(out - 0.5).max() > 0.05
 
+    @pytest.mark.parametrize("mode,sel", [(0, (0, 0)), (1, (1, 3))])
+    def test_composite_core_matches_eager(self, tiny_cfg, renderer, mode, sel):
+        """The single-dispatch jitted composite (the frame loop's overlay
+        path) must produce the same frame as the eager apply_overlays
+        reference, in both BVH modes (padded branch boxes included)."""
+        img = jnp.zeros((24, 32, 3), jnp.float32) + 0.25
+        cam = renderer._camera_params()
+        cfg = tiny_cfg.replace(
+            debug_show_bvh=True, debug_bvh_mode=mode,
+            debug_selected_blas=sel[0], debug_selected_tri=sel[1],
+            debug_show_lights=True, show_fps_overlay=True,
+        )
+        eager = np.asarray(
+            apply_overlays(img, renderer.arrays, cam, cfg, fps=7.3))
+        renderer.cfg = cfg
+        renderer.profiler.fps_ema = 7.3
+        jitted = np.asarray(renderer._composite_overlays(img, cam))
+        np.testing.assert_allclose(jitted, eager, atol=2e-6)
+
+    def test_composite_overlay_cache_invalidates_on_update(self, renderer):
+        """Scene updates replace renderer.arrays; the box-input cache must
+        rebuild (identity check), not serve the old transforms' boxes."""
+        img = jnp.zeros((24, 32, 3), jnp.float32)
+        cam = renderer._camera_params()
+        renderer.cfg = renderer.cfg.replace(
+            debug_show_bvh=True, debug_show_lights=False,
+            show_fps_overlay=False)
+        a = np.asarray(renderer._composite_overlays(img, cam))
+        xf = np.asarray(renderer.arrays.transforms).copy()
+        xf[:, 0, 3] += 0.7  # translate every instance in x
+        renderer.arrays = renderer.arrays.with_transforms(jnp.asarray(xf))
+        b = np.asarray(renderer._composite_overlays(img, cam))
+        assert np.abs(a - b).max() > 1e-3
+
     def test_branch_boxes_path(self, renderer):
         boxes, colors = blas_branch_boxes(renderer.arrays, 1, 0)
         assert len(boxes) >= 1
