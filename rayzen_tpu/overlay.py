@@ -369,13 +369,7 @@ def _lights_scan(color, frag, lights, vp, res):
     return color
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "use_t", "use_b", "show_lights", "show_fps", "width", "height",
-    ),
-)
-def composite_core(
+def composite_traced(
     image,
     t_corners, t_colors, t_mask,
     b_corners, b_colors, b_mask,
@@ -404,6 +398,16 @@ def composite_core(
     if show_fps:
         color = fps_pass(color, frag, fps, (width, height))
     return jnp.clip(color, 0.0, 1.0).reshape(height, width, 3)
+
+
+# standalone one-dispatch form (used when the composite can't fuse into the
+# render program: accumulate mode, preview frames, the bounce-1 first frame)
+composite_core = jax.jit(
+    composite_traced,
+    static_argnames=(
+        "use_t", "use_b", "show_lights", "show_fps", "width", "height",
+    ),
+)
 
 
 _BRANCH_PAD = 64  # fixed branch-box width: the traversal stack bound (glsl:422)

@@ -34,7 +34,7 @@ from . import logging_util as log
 from .cache import cached_pack_scene, setup_compile_cache
 from .config import RenderConfig
 from .integrator import render_radiance_with_stats
-from .overlay import build_overlay_inputs, composite_core
+from .overlay import build_overlay_inputs, composite_core, composite_traced
 from .parallel import make_mesh, render_radiance_sharded
 from .preview import render_preview
 from .profiler import FrameProfiler, StartupTimer
@@ -149,6 +149,32 @@ class Renderer:
 
         self._render_full = jax.jit(_full)
         self._render_first = jax.jit(_first)
+
+        # fused render+overlay program: one dispatch per frame instead of a
+        # render dispatch followed by a composite dispatch — on the tunneled
+        # transport each dispatch is a serial wire round trip, the measured
+        # floor of the pipelined 1080p session (results/r5/interactive_5.txt:
+        # sustained ~960 ms/frame with 2 dispatches + 2 readbacks). The
+        # view-proj matmul moves on-device too. Compiles lazily per overlay
+        # toggle combo (the XLA persistent cache covers repeat sessions).
+        def _full_overlay(
+            arrays, cam, key, t_c, t_col, t_m, b_c, b_col, b_m, fps,
+            *, use_t, use_b, show_lights, show_fps,
+        ):
+            img, rays = _full(arrays, cam, key)
+            first = arrays[0] if isinstance(arrays, tuple) else arrays
+            vp = cam["proj"] @ cam["view"]
+            img = composite_traced(
+                img, t_c, t_col, t_m, b_c, b_col, b_m, vp, first.lights, fps,
+                use_t=use_t, use_b=use_b, show_lights=show_lights,
+                show_fps=show_fps, width=cfg.width, height=cfg.height,
+            )
+            return img, rays
+
+        self._render_full_overlay = jax.jit(
+            _full_overlay,
+            static_argnames=("use_t", "use_b", "show_lights", "show_fps"),
+        )
         self._preview = jax.jit(lambda arrays, cam: render_preview(arrays, cam, cfg))
         # progressive average with the history buffer donated: the (H, W, 3)
         # accumulator updates in place instead of allocating per frame
@@ -355,6 +381,21 @@ class Renderer:
             # a fresh key per frame keeps accumulation converging; harmless
             # otherwise (traced input, no recompilation)
             key = jnp.uint32(self.frame_index if cfg.accumulate else 0)
+            if self._can_fuse_overlays(use_first):
+                ops, flags = self._overlay_operands()
+                with prof.phase("render"):
+                    img, rays_arr = self._render_full_overlay(
+                        self._trace_arrays, cam, key, *ops,
+                        jnp.float32(self.profiler.fps_ema or 0.0), **flags,
+                    )
+                    img.block_until_ready()
+                with prof.phase("readback"):
+                    # one transfer for frame + ray count (each np.asarray /
+                    # int() is its own wire round trip on the tunnel)
+                    out, rays = jax.device_get((img, rays_arr))
+                prof.end_frame(rays_traced=int(rays))
+                self.frame_index += 1
+                return out
             with prof.phase("render"):
                 img, rays_arr = fn(self._trace_arrays, cam, key)
                 img.block_until_ready()
@@ -372,16 +413,6 @@ class Renderer:
                 img = self._accum
 
         if cfg.debug_show_bvh or cfg.debug_show_lights or cfg.show_fps_overlay:
-            if cfg.debug_show_bvh and self.arrays_list is not None and not getattr(
-                self, "_warned_chunk_overlay", False
-            ):
-                # wireframes draw from chunk 0's tree only; light markers and
-                # the FPS readout are chunk-independent
-                log.info(
-                    "debug_show_bvh on a chunked scene draws chunk 0's "
-                    f"tree only ({len(self.arrays_list)} chunks)"
-                )
-                self._warned_chunk_overlay = True
             with prof.phase("overlay"):
                 img = self._composite_overlays(img, cam)
 
@@ -419,45 +450,71 @@ class Renderer:
             mode == "auto" and not self.path_tracer_ready
         )
         rays_arr = None
+        composited = False
         if use_preview:
             img = self._preview(self.arrays, cam)
         else:
             use_first = self.frame_index == 0 and not cfg.accumulate
-            fn = self._render_first if use_first else self._render_full
             key = jnp.uint32(self.frame_index if cfg.accumulate else 0)
-            img, rays_arr = fn(self._trace_arrays, cam, key)
-            if cfg.accumulate:
-                if self._accum is None:
-                    self._accum = img
-                    self._accum_count = 1
-                else:
-                    self._accum_count += 1
-                    self._accum = self._accum_update(
-                        self._accum, img, jnp.float32(1.0 / self._accum_count)
-                    )
-                img = self._accum
-        self.frame_index += 1
-        if cfg.debug_show_bvh or cfg.debug_show_lights or cfg.show_fps_overlay:
-            if cfg.debug_show_bvh and self.arrays_list is not None and not getattr(
-                self, "_warned_chunk_overlay", False
-            ):
-                log.info(
-                    "debug_show_bvh on a chunked scene draws chunk 0's "
-                    f"tree only ({len(self.arrays_list)} chunks)"
+            if self._can_fuse_overlays(use_first):
+                # one dispatch: render + overlay composite in a single
+                # program, one wire round trip per frame
+                ops, flags = self._overlay_operands()
+                img, rays_arr = self._render_full_overlay(
+                    self._trace_arrays, cam, key, *ops,
+                    jnp.float32(self.profiler.fps_ema or 0.0), **flags,
                 )
-                self._warned_chunk_overlay = True
+                composited = True
+            else:
+                fn = self._render_first if use_first else self._render_full
+                img, rays_arr = fn(self._trace_arrays, cam, key)
+                if cfg.accumulate:
+                    if self._accum is None:
+                        self._accum = img
+                        self._accum_count = 1
+                    else:
+                        self._accum_count += 1
+                        self._accum = self._accum_update(
+                            self._accum, img,
+                            jnp.float32(1.0 / self._accum_count),
+                        )
+                    img = self._accum
+        self.frame_index += 1
+        if self._overlays_on() and not composited:
             img = self._composite_overlays(img, cam)
         return PendingFrame(self, img, rays_arr, t0)
 
-    def _composite_overlays(self, img, cam):
-        """One-dispatch overlay composite: the jitted composite_core with
-        device-cached box operands. Replaces the ~25-eager-op apply_overlays
-        in the frame loop — on the tunneled transport each eager op pays a
-        fixed staging cost, and that serial wire time was the measured floor
-        of the pipelined 1080p session (results/r5/interactive_4.txt). Box
-        inputs are cached per (arrays identity, toggle state); branch boxes
-        are padded so click-picks never recompile."""
+    def _overlays_on(self) -> bool:
         cfg = self.cfg
+        return bool(
+            cfg.debug_show_bvh or cfg.debug_show_lights or cfg.show_fps_overlay
+        )
+
+    def _can_fuse_overlays(self, use_first: bool) -> bool:
+        """Overlays fuse into the render program (one dispatch per frame)
+        except where the composite input isn't the render output: accumulate
+        mode (composite must see the running average) and the bounce-1 first
+        frame (not worth its own fused compile)."""
+        return (
+            self._overlays_on() and not use_first and not self.cfg.accumulate
+        )
+
+    def _overlay_operands(self):
+        """Device-cached composite operands + static flags for the current
+        toggle state. Box inputs are cached per (arrays identity, toggles);
+        branch boxes are padded so click-picks change operands, not shapes
+        (no recompile per pick)."""
+        cfg = self.cfg
+        if cfg.debug_show_bvh and self.arrays_list is not None and not getattr(
+            self, "_warned_chunk_overlay", False
+        ):
+            # wireframes draw from chunk 0's tree only; light markers and
+            # the FPS readout are chunk-independent
+            log.info(
+                "debug_show_bvh on a chunked scene draws chunk 0's "
+                f"tree only ({len(self.arrays_list)} chunks)"
+            )
+            self._warned_chunk_overlay = True
         key = (
             cfg.debug_show_bvh, cfg.debug_bvh_mode,
             cfg.debug_selected_blas, cfg.debug_selected_tri,
@@ -471,16 +528,29 @@ class Renderer:
             hit = (self.arrays, build_overlay_inputs(self.arrays, cfg))
             self._overlay_inputs_cache[key] = hit
         (t_c, t_col, t_m, use_t), (b_c, b_col, b_m, use_b) = hit[1]
-        vp = np.asarray(cam["proj"]) @ np.asarray(cam["view"])
-        return composite_core(
-            img, t_c, t_col, t_m, b_c, b_col, b_m,
-            jnp.asarray(vp, jnp.float32),
-            jnp.asarray(self.arrays.lights, jnp.float32),
-            jnp.float32(self.profiler.fps_ema or 0.0),
+        flags = dict(
             use_t=use_t, use_b=use_b,
             show_lights=bool(cfg.debug_show_lights),
             show_fps=bool(cfg.show_fps_overlay),
-            width=cfg.width, height=cfg.height,
+        )
+        return (t_c, t_col, t_m, b_c, b_col, b_m), flags
+
+    def _composite_overlays(self, img, cam):
+        """Standalone one-dispatch overlay composite (jitted composite_core)
+        for frames the fused program can't serve: accumulate mode, preview,
+        the bounce-1 first frame. Replaces the ~25-eager-op apply_overlays —
+        on the tunneled transport each eager op pays a fixed staging cost,
+        the measured serial-wire floor of the pipelined 1080p session
+        (results/r5/interactive_4.txt)."""
+        cfg = self.cfg
+        ops, flags = self._overlay_operands()
+        vp = np.asarray(cam["proj"]) @ np.asarray(cam["view"])
+        return composite_core(
+            img, *ops,
+            jnp.asarray(vp, jnp.float32),
+            jnp.asarray(self.arrays.lights, jnp.float32),
+            jnp.float32(self.profiler.fps_ema or 0.0),
+            width=cfg.width, height=cfg.height, **flags,
         )
 
     def warmup(self, frames: int) -> None:
@@ -527,8 +597,13 @@ class PendingFrame:
         self.frame_no = renderer.frame_index - 1
 
     def resolve(self) -> np.ndarray:
-        out = np.asarray(self._img)  # the sync point; pure readback
-        rays = int(self._rays) if self._rays is not None else 0
+        if self._rays is not None:
+            # one transfer for frame + ray count: a separate int() after the
+            # image readback would be a second wire round trip on the tunnel
+            out, rays = jax.device_get((self._img, self._rays))
+            rays = int(rays)
+        else:
+            out, rays = np.asarray(self._img), 0  # the sync point
         self._r.profiler.record(
             (time.perf_counter() - self._t0) * 1e3, rays_traced=rays
         )
