@@ -142,6 +142,7 @@ class TestInteractiveScriptSmoke:
         assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
         body = open(out_md).read()
         assert "PIPELINED session" in body
+        assert "DEVICE-RATE pass" in body
         assert "| `click 960 540` |" in body  # full command mix ran
         png = os.path.join(os.path.dirname(out_md), "images",
                            "interactive_1080p.png")
