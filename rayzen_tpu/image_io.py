@@ -19,13 +19,22 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
     return np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
 
 
-def write_png(path: str, img: np.ndarray, flip_vertical: bool = True) -> None:
-    """img: (H, W, 3) float [0,1] or uint8."""
+def write_png(
+    path: str, img: np.ndarray, flip_vertical: bool = True,
+    compress_level: int = 6,
+) -> None:
+    """img: (H, W, 3) float [0,1] or uint8. compress_level trades size for
+    speed (1 ≈ 3-4x faster deflate; the live interactive refresh uses it —
+    the PNG is the swap-chain analog, rewritten every frame)."""
     data = img if img.dtype == np.uint8 else to_uint8(img)
     if flip_vertical:
         data = data[::-1]
     h, w = data.shape[:2]
-    raw = b"".join(b"\x00" + data[y].tobytes() for y in range(h))
+    # per-row filter byte 0, prepended as a column (vectorized scanlines)
+    rows = np.ascontiguousarray(data).reshape(h, w * 3)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), rows], axis=1
+    ).tobytes()
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         return (
@@ -39,7 +48,7 @@ def write_png(path: str, img: np.ndarray, flip_vertical: bool = True) -> None:
     png = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(raw, compress_level))
         + chunk(b"IEND", b"")
     )
     with open(path, "wb") as f:

@@ -135,9 +135,10 @@ class InteractiveSession:
                 )
         elif cmd == "save" and len(parts) >= 2:
             self._drain()  # pipelined mode: resolve in-flight frames first
-            if self.frame is not None:
-                write_png(parts[1], self.frame)
-                self._say(f"saved {parts[1]}")
+            if self.frame is None:
+                self._render()  # save before any frame: render one to save
+            write_png(parts[1], self.frame)
+            self._say(f"saved {parts[1]}")
             return True, False
         elif cmd == "":
             pass  # bare Enter: just re-render
@@ -149,7 +150,9 @@ class InteractiveSession:
     def _render(self) -> None:
         self.frame = self.r.render_frame(mode=self.mode)
         if self.out_path:
-            write_png(self.out_path, self.frame)
+            # level-1 deflate: the live refresh is the swap analog, speed
+            # over size (explicit `save` keeps the default level)
+            write_png(self.out_path, self.frame, compress_level=1)
         p = self.r.profiler
         cam = self.r.scene.camera
         self._say(
@@ -184,7 +187,7 @@ class InteractiveSession:
         pf, status = self._pending.popleft()
         self.frame = pf.resolve()
         if self.out_path:
-            write_png(self.out_path, self.frame)
+            write_png(self.out_path, self.frame, compress_level=1)
         p = self.r.profiler
         self._say(f"frame {pf.frame_no} {status} fps={p.fps_ema or 0.0:.1f}")
 
