@@ -266,7 +266,11 @@ def apply_overlays(
 ):
     """Composite the configured debug overlays onto a rendered frame, in the
     reference's order: BVH wireframes (50% blend, glsl:776-779), then light
-    markers, then the FPS readout."""
+    markers, then the FPS readout.
+
+    This is the EAGER reference implementation (one device op at a time) —
+    convenient for one-off calls and the parity oracle for the jitted
+    composite below, which is what the Renderer's frame loop uses."""
     height, width = image.shape[:2]
     from .ops.camera_rays import pixel_grid
 
