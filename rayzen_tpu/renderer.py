@@ -399,7 +399,7 @@ class Renderer:
             with prof.phase("render"):
                 img, rays_arr = fn(self._trace_arrays, cam, key)
                 img.block_until_ready()
-            rays = int(rays_arr)
+            rays = rays_arr  # fetched with the frame in the readback phase
 
             if cfg.accumulate:
                 if self._accum is None:
@@ -417,7 +417,13 @@ class Renderer:
                 img = self._composite_overlays(img, cam)
 
         with prof.phase("readback"):
-            out = np.asarray(img)
+            # one transfer for frame + ray count (a separate int() would be
+            # its own wire round trip on the tunnel)
+            if isinstance(rays, int):  # preview frames carry no ray count
+                out = np.asarray(img)
+            else:
+                out, rays = jax.device_get((img, rays))
+                rays = int(rays)
         prof.end_frame(rays_traced=rays)
         self.frame_index += 1
         return out
