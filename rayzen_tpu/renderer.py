@@ -175,6 +175,45 @@ class Renderer:
             _full_overlay,
             static_argnames=("use_t", "use_b", "show_lights", "show_fps"),
         )
+
+        # batched fly-through program: K scripted frames per dispatch via a
+        # lax.scan over stacked camera params. Even with frames in flight,
+        # each dispatch on the tunneled transport carries a serial staging
+        # component (device-rate pass: 149 ms/frame vs ~40 ms of device
+        # compute, docs/INTERACTIVE_1080p.md) — batching K frames into one
+        # program amortizes it K-fold, the closest analog this transport
+        # allows to a directly-attached chip's vsync loop (main.cpp:637-654),
+        # where per-dispatch overhead is microseconds. Only the LAST frame
+        # leaves the device (the scanout analog); ray counts accumulate
+        # across the batch so throughput stays honestly counted.
+        def _batch_overlay(
+            arrays, cams, key, t_c, t_col, t_m, b_c, b_col, b_m, fps,
+            *, use_t, use_b, show_lights, show_fps,
+        ):
+            first = arrays[0] if isinstance(arrays, tuple) else arrays
+
+            def step(carry, cam):
+                rays_tot, _ = carry
+                img, rays = _full(arrays, cam, key)
+                vp = cam["proj"] @ cam["view"]
+                img = composite_traced(
+                    img, t_c, t_col, t_m, b_c, b_col, b_m, vp, first.lights,
+                    fps, use_t=use_t, use_b=use_b, show_lights=show_lights,
+                    show_fps=show_fps, width=cfg.width, height=cfg.height,
+                )
+                return (rays_tot + rays, img), None
+
+            init = (
+                jnp.int32(0),
+                jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+            )
+            (rays_tot, last), _ = jax.lax.scan(step, init, cams)
+            return last, rays_tot
+
+        self._render_batch_overlay = jax.jit(
+            _batch_overlay,
+            static_argnames=("use_t", "use_b", "show_lights", "show_fps"),
+        )
         self._preview = jax.jit(lambda arrays, cam: render_preview(arrays, cam, cfg))
         # progressive average with the history buffer donated: the (H, W, 3)
         # accumulator updates in place instead of allocating per frame
@@ -490,6 +529,41 @@ class Renderer:
             img = self._composite_overlays(img, cam)
         return PendingFrame(self, img, rays_arr, t0)
 
+    def render_batch(self, cam_stack: dict, fps: float = 0.0):
+        """Render K scripted frames in ONE dispatch (jitted lax.scan over
+        camera params stacked along a leading K axis — see
+        ``stack_camera_params``). Overlays composite per frame inside the
+        program with the current toggle state; only the last frame and the
+        batch's total traced-ray count come back, as DEVICE arrays (no sync —
+        batches pipeline like any other dispatch).
+
+        This is the animation/scanout analog of the interactive loop for
+        motion known ahead of time (the auto fly-through, turntables,
+        deformation playback): semantically identical frames to the sync
+        loop's (same key, same overlay state), with the transport's
+        per-dispatch staging amortized over K frames. It is NOT a replacement
+        for command-latency measurement — commands arriving mid-batch can't
+        retarget frames already in the program.
+        """
+        if not self.path_tracer_ready:
+            raise RuntimeError(
+                "render_batch needs the compiled path tracer (no preview "
+                "fallback for batched fly-throughs)"
+            )
+        if self.cfg.accumulate:
+            raise RuntimeError("render_batch is per-frame (accumulate=False)")
+        k = jnp.uint32(0)  # the sync loop's non-accumulate frame key
+        ops, flags = self._overlay_operands()
+        img, rays = self._render_batch_overlay(
+            self._trace_arrays, cam_stack, k, *ops,
+            jnp.float32(fps if fps else (self.profiler.fps_ema or 0.0)),
+            **flags,
+        )
+        self.frame_index += int(
+            next(iter(cam_stack.values())).shape[0]
+        )
+        return img, rays
+
     def _overlays_on(self) -> bool:
         cfg = self.cfg
         return bool(
@@ -581,6 +655,15 @@ class Renderer:
         scene: Scene, cfg: RenderConfig, n_devices: Optional[int] = None, **kw
     ):
         return Renderer(scene, cfg, mesh=make_mesh(n_devices), **kw)
+
+
+def stack_camera_params(param_dicts) -> dict:
+    """Stack per-frame camera params (``Camera.device_params()`` dicts) along
+    a leading K axis — the ``cam_stack`` input of ``Renderer.render_batch``."""
+    return {
+        k: jnp.stack([jnp.asarray(d[k], jnp.float32) for d in param_dicts])
+        for k in param_dicts[0]
+    }
 
 
 class PendingFrame:

@@ -121,3 +121,69 @@ class TestPipelinedSession:
               pipeline=4)
         assert os.path.exists(str(snap))
         assert not s._pending
+
+
+class TestBatchedFlythrough:
+    """render_batch: K scripted frames in one dispatch (lax.scan over stacked
+    camera params) must produce exactly the sync loop's frames — same overlay
+    state, same key — and count the same rays. The batch is the scanout
+    analog for motion known ahead of time (docs/INTERACTIVE_1080p.md)."""
+
+    def test_batch_matches_sync_loop(self, tmp_path):
+        from rayzen_tpu.renderer import stack_camera_params
+
+        cfg = RenderConfig(
+            width=48, height=32, spp=1, max_bounces=2,
+            show_fps_overlay=True, debug_show_lights=True,
+            cache_dir=str(tmp_path / "cache"),
+        )
+        moves = ["w 0.4", "look 30 0", "d 0.3", "look -20 5"]
+
+        # sync loop: apply each move, render a frame, remember cams + rays
+        scene_a = build_small_scene(48, 32)
+        ra = Renderer(scene_a, cfg, use_cache=False, async_compile=False)
+        sa = InteractiveSession(ra, out_path=None, status=io.StringIO())
+        sa.run(iter([]))  # frame 0 so the batch never hits first-frame mode
+        cams, sync_frames, sync_rays = [], [], []
+        fps_pin = ra.profiler.fps_ema or 0.0
+        for mv in moves:
+            sa._apply(mv)
+            cam = {k: np.asarray(v) for k, v in
+                   ra.scene.camera.device_params().items()}
+            cams.append(cam)
+            # pin the fps overlay value so sync and batch draw the same text
+            ra.profiler.fps_ema = fps_pin
+            sync_frames.append(ra.render_frame())
+            # exact per-frame ray count from the same program the scan calls
+            import jax.numpy as jnp
+
+            _, rays_f = ra._render_full(
+                ra._trace_arrays,
+                {k: jnp.asarray(v) for k, v in cam.items()},
+                jnp.uint32(0),
+            )
+            sync_rays.append(int(rays_f))
+
+        # batch: same renderer type, same camera trajectory, one dispatch
+        scene_b = build_small_scene(48, 32)
+        rb = Renderer(scene_b, cfg, use_cache=False, async_compile=False)
+        rb.warmup(1)
+        img, rays = rb.render_batch(stack_camera_params(cams), fps=fps_pin)
+        np.testing.assert_allclose(
+            np.asarray(img), sync_frames[-1], atol=1e-6
+        )
+        assert int(rays) == sum(sync_rays)
+        assert rb.frame_index == len(moves)  # the batch advanced the counter
+
+    def test_batch_guards(self, tmp_path):
+        cfg = RenderConfig(
+            width=48, height=32, spp=1, max_bounces=2, accumulate=True,
+            cache_dir=str(tmp_path / "cache"),
+        )
+        scene = build_small_scene(48, 32)
+        r = Renderer(scene, cfg, use_cache=False, async_compile=False)
+        with pytest.raises(RuntimeError):
+            r.render_batch(
+                {k: np.asarray(v)[None]
+                 for k, v in scene.camera.device_params().items()}
+            )
